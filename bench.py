@@ -1,0 +1,116 @@
+"""Benchmark: Jinc256 (tap=8) 4K->8K fp32 Y-plane throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (the reference publishes no numbers — BASELINE.md §1):
+the per-socket-equivalent bar is the analytic peak of the reference's AVX-512
+path on a strong 32-core AVX-512 socket: 18.05 GMAC padded per 4K->8K tap-8
+fp32 frame (BASELINE.md §2), 32 cores x 16 lanes x 2 FMA x 3 GHz = 1.54 TMAC/s
+peak => 85.3 fps => 2.83e9 output px/s. Real sockets fall short of peak on
+this memory-bound gather; using peak makes the bar conservative (harder).
+
+Usage: python bench.py [--small] [--frames N] [--iters N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Analytic AVX-512 per-socket-equivalent bar (see module docstring).
+BASELINE_PX_PER_S = 7680 * 4320 * (1.54e12 / 18.05e9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="reduced size (CI/dev)")
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from jincresize_tpu import apply_xla
+    from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+    if args.small:
+        sw, sh, dw, dh = 960, 540, 1920, 1080
+    else:
+        sw, sh, dw, dh = 3840, 2160, 7680, 4320
+
+    t0 = time.time()
+    op = build_plane_operator(sw, sh, dw, dh, radius_for_tap(8))
+    build_s = time.time() - t0
+    print(f"# operator built in {build_s:.1f}s: {op.stats()}", file=sys.stderr)
+
+    dop = apply_xla.to_device(op)
+    rng = np.random.default_rng(0)
+
+    impl = args.impl
+    if impl == "auto":
+        try:
+            from jincresize_tpu.kernels import pallas_tile  # noqa: F401
+
+            impl = "pallas" if pallas_tile.is_supported() else "xla"
+        except Exception:
+            impl = "xla"
+
+    if args.frames > 1:
+        src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
+        if impl == "pallas":
+            from jincresize_tpu.kernels import pallas_tile
+
+            fn = pallas_tile.make_batch_fn(op)
+        else:
+            fn = lambda s: apply_xla.resize_plane_batch(dop, s)
+    else:
+        src = jnp.asarray(rng.random((sh, sw), dtype=np.float32))
+        if impl == "pallas":
+            from jincresize_tpu.kernels import pallas_tile
+
+            fn = pallas_tile.make_frame_fn(op)
+        else:
+            fn = lambda s: apply_xla.resize_plane(dop, s)
+
+    # warmup/compile. NOTE: a scalar reduction is fetched to force execution —
+    # block_until_ready alone does not reliably block on the axon remote
+    # backend (verified: it returned in 0.1ms for a 12s computation).
+    def run(x):
+        return float(jnp.sum(fn(x)))
+
+    run(src)
+    times = []
+    for i in range(args.iters):
+        t = time.time()
+        run(src)
+        times.append(time.time() - t)
+    dt = min(times)
+    frames = max(args.frames, 1)
+    px_per_s = dw * dh * frames / dt
+    print(
+        f"# impl={impl} best={dt*1e3:.2f} ms for {frames} frame(s) "
+        f"({dw}x{dh}), {px_per_s/1e9:.3f} Gpx/s",
+        file=sys.stderr,
+    )
+
+    scale = 1.0 if not args.small else 0.25  # report vs the 8K bar regardless
+    print(
+        json.dumps(
+            {
+                "metric": "jinc256_4k_to_8k_fp32_px_per_s_per_chip"
+                if not args.small
+                else "jinc256_1080p_fp32_px_per_s_per_chip",
+                "value": px_per_s,
+                "unit": "px/s",
+                "vs_baseline": px_per_s / (BASELINE_PX_PER_S * scale),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,329 @@
+"""Public API: JincResize filter with the reference's full 16-parameter surface.
+
+Mirrors the script-function layer and construction/validation layer of the
+reference (/root/reference/src/JincResize.cpp:654-984 ``Create_JincResize``,
+:986-1111 registration and fixed-tap aliases): same parameter names, defaults,
+ranges and error messages; the four alias entry points ``jinc36_resize`` /
+``jinc64_resize`` / ``jinc144_resize`` / ``jinc256_resize`` pin ``tap`` to
+3/4/6/8 exactly like ``Jinc36/64/144/256Resize``.
+
+TPU-native differences (by design, SURVEY.md §7):
+  * construction builds device-resident sparse operators instead of pointer
+    tables; ``threads``/``opt``/``initial_capacity``/``initial_factor`` are
+    validated with reference semantics but execution is selected via ``impl``
+    ('xla' | 'numpy' | 'pallas' | 'auto') since XLA owns codegen (C17).
+  * frame processing is a pure jitted function; batches of frames map to the
+    SpMM path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import numpy as np
+
+from . import apply_xla
+from .clip import Clip, Frame, VideoFormat
+from .filters import build_lut
+from .geometry import chroma_crop
+from .golden import apply_plane_numpy, finalize as finalize_np
+from .operator import PlaneOperator, build_plane_operator, radius_for_tap
+
+
+class JincError(ValueError):
+    """Construction-time validation error (reference: avs_new_value_error)."""
+
+
+@dataclass(frozen=True)
+class JincConfig:
+    """All JincResize parameters with reference defaults (README.md:33-111)."""
+
+    target_width: int
+    target_height: int
+    src_left: float = 0.0
+    src_top: float = 0.0
+    src_width: float | None = None  # <=0: crop from the right
+    src_height: float | None = None  # <=0: crop from the bottom
+    quant_x: int = 256
+    quant_y: int = 256
+    tap: int = 3
+    blur: float = 0.0  # 0 means unset -> 1.0 (JincResize.cpp:772-774)
+    cplace: str | None = None  # None: resolve from frame props, else mpeg2
+    threads: int = 0
+    opt: int = -1
+    initial_capacity: int | None = None
+    initial_factor: float = 1.5
+    # TPU-native execution selector (replaces the ISA dispatch, SURVEY C17).
+    impl: str = "auto"  # 'auto' | 'xla' | 'pallas' | 'numpy'
+    # Float-path source clamp: the reference's SIMD kernels clamp float
+    # sources at -0.5 (chroma/alpha) / 0.0 (luma/RGB) while the C kernel does
+    # not. None reproduces the reference dispatch: clamp unless opt == 0.
+    float_clamp: bool | None = None
+
+
+def _resolve_cplace(cfg: JincConfig, fmt: VideoFormat, frame0: Frame | None) -> str:
+    cplace = cfg.cplace
+    if cplace:
+        cplace = cplace.lower()
+        if cplace not in ("mpeg2", "mpeg1", "topleft"):
+            raise JincError("JincResize: cplace must be MPEG2, MPEG1 or topleft.")
+    else:
+        # Frame-prop fallback (JincResize.cpp:727-742).
+        loc = None if frame0 is None else frame0.props.get("_ChromaLocation")
+        if loc is None:
+            cplace = "mpeg2"
+        elif loc == 0:
+            cplace = "mpeg2"
+        elif loc == 1:
+            cplace = "mpeg1"
+        elif loc == 2:
+            cplace = "topleft"
+        else:
+            raise JincError("JincResize: invalid _ChromaLocation")
+    if cplace == "topleft" and not fmt.is_420:
+        raise JincError(
+            "JincResize: topleft must be used only for 4:2:0 chroma subsampling."
+        )
+    return cplace
+
+
+def _validate(cfg: JincConfig) -> None:
+    """Reference argument validation with identical messages
+    (JincResize.cpp:703-789)."""
+    if not 1 <= cfg.tap <= 16:
+        raise JincError("JincResize: tap must be between 1..16.")
+    if not 1 <= cfg.quant_x <= 256:
+        raise JincError("JincResize: quant_x must be between 1..256.")
+    if not 1 <= cfg.quant_y <= 256:
+        raise JincError("JincResize: quant_y must be between 1..256.")
+    if cfg.opt > 3:
+        raise JincError("JincResize: opt higher than 3 is not allowed.")
+    if cfg.threads not in (0, 1):
+        raise JincError("JincResize: threads must be either 0 or 1.")
+    if cfg.initial_factor < 1.0:
+        raise JincError(
+            "JincResize: initial_factor must be eqaul to or greater than 1.0."
+        )
+    if cfg.initial_capacity is not None and cfg.initial_capacity <= 0:
+        raise JincError("JincResize: initial_capacity must be greater than 0.")
+    if cfg.impl not in ("auto", "xla", "pallas", "numpy"):
+        raise JincError(f"JincResize: unknown impl {cfg.impl!r}.")
+
+
+class JincResizer:
+    """Constructed filter instance: operators built once, frames are pure calls.
+
+    Equivalent of the reference's filter object: construction = validation +
+    LUT + per-geometry coefficient tables (JincResize.cpp:791-866); per-frame
+    call = table application only (JincResize.cpp:603-630).
+    """
+
+    def __init__(
+        self,
+        fmt: VideoFormat,
+        width: int,
+        height: int,
+        cfg: JincConfig,
+        frame0: Frame | None = None,
+    ):
+        _validate(cfg)
+        self.fmt = fmt
+        self.src_width = width
+        self.src_height = height
+        self.cfg = cfg
+        self.cplace = _resolve_cplace(cfg, fmt, frame0)
+
+        # Crop semantics including negative src_width/height = right/bottom
+        # crop (JincResize.cpp:762-770).
+        crop_left = cfg.src_left
+        crop_width = float(width) if cfg.src_width is None else float(cfg.src_width)
+        if crop_width <= 0.0:
+            crop_width = width - crop_left + crop_width
+        crop_top = cfg.src_top
+        crop_height = float(height) if cfg.src_height is None else float(cfg.src_height)
+        if crop_height <= 0.0:
+            crop_height = height - crop_top + crop_height
+
+        blur = cfg.blur if cfg.blur else 1.0
+        tw, th = cfg.target_width, cfg.target_height
+        radius = radius_for_tap(cfg.tap)
+        lut = build_lut(radius, blur)
+        self.peak = fmt.peak
+
+        # Luma/444/RGB operator (out[0] — also used for alpha planes).
+        self.op_luma: PlaneOperator = build_plane_operator(
+            width,
+            height,
+            tw,
+            th,
+            radius,
+            crop_left=crop_left,
+            crop_top=crop_top,
+            crop_width=crop_width,
+            crop_height=crop_height,
+            quantize_x=cfg.quant_x,
+            quantize_y=cfg.quant_y,
+            blur=blur,
+            lut=lut,
+        )
+        # Subsampled chroma operator (out[1]) with chroma-siting shift
+        # (JincResize.cpp:830-862).
+        self.op_chroma: PlaneOperator | None = None
+        if fmt.family == "YUV" and fmt.is_subsampled:
+            cl, ct, cw, ch = chroma_crop(
+                self.cplace,
+                width,
+                height,
+                tw,
+                th,
+                crop_left,
+                crop_top,
+                crop_width,
+                crop_height,
+                fmt.sub_w,
+                fmt.sub_h,
+            )
+            self.op_chroma = build_plane_operator(
+                width >> fmt.sub_w,
+                height >> fmt.sub_h,
+                tw >> fmt.sub_w,
+                th >> fmt.sub_h,
+                radius,
+                crop_left=cl,
+                crop_top=ct,
+                crop_width=cw,
+                crop_height=ch,
+                quantize_x=cfg.quant_x,
+                quantize_y=cfg.quant_y,
+                blur=blur,
+                lut=lut,
+            )
+
+        self._impl = "xla" if cfg.impl == "auto" else cfg.impl
+        self._dev_luma = None
+        self._dev_chroma = None
+        if self._impl in ("xla", "pallas"):
+            self._dev_luma = apply_xla.to_device(self.op_luma)
+            if self.op_chroma is not None:
+                self._dev_chroma = apply_xla.to_device(self.op_chroma)
+
+        # Float-source clamp per plane (SIMD semantics unless opt==0).
+        clamp = cfg.float_clamp
+        if clamp is None:
+            clamp = cfg.opt != 0
+        self._float_clamp = clamp and fmt.bits == 32
+
+    # ------------------------------------------------------------------ plane
+    def _plane_op(self, name: str):
+        """Coefficient-table select per plane: chroma planes use out[1] for
+        subsampled formats, everything else (incl. alpha) uses out[0]
+        (resize_plane kernels' table select, e.g. resize_plane_avx2.cpp:26-32)."""
+        if name in ("U", "V") and self.op_chroma is not None:
+            return self.op_chroma, self._dev_chroma
+        return self.op_luma, self._dev_luma
+
+    def _clamp_min(self, name: str) -> float | None:
+        if not self._float_clamp:
+            return None
+        # (i && !is_rgb) -> -0.5 else 0.0 (resize_plane_avx2.cpp:24).
+        if self.fmt.family != "RGB" and name != self.fmt.plane_names[0]:
+            return -0.5
+        return 0.0
+
+    # ------------------------------------------------------------------ frame
+    def process_frame(self, frame: Frame) -> Frame:
+        """Resample one frame (all planes). Pure; no state mutated."""
+        frame.validate()
+        out_planes = {}
+        dtype = self.fmt.dtype
+        peak = self.peak
+        for name in self.fmt.plane_names:
+            op, dop = self._plane_op(name)
+            src = frame.planes[name]
+            cmin = self._clamp_min(name)
+            if self._impl == "numpy":
+                out_planes[name] = apply_plane_numpy(
+                    op, np.asarray(src), out_dtype=dtype, peak=peak,
+                    float_clamp_min=cmin,
+                )
+            else:
+                import jax.numpy as jnp
+
+                out = apply_xla.resize_plane(
+                    dop, jnp.asarray(src), out_dtype=dtype, peak=peak,
+                    float_clamp_min=cmin,
+                )
+                out_planes[name] = np.asarray(out)
+        out = Frame(format=self.fmt, planes=out_planes, props=dict(frame.props))
+        # _ChromaLocation output prop for 420/422/411 (JincResize.cpp:617-625).
+        if self.fmt.is_420 or self.fmt.is_422 or self.fmt.is_411:
+            loc = {"mpeg2": 0, "mpeg1": 1, "topleft": 2}[self.cplace]
+            out = out.with_props(_ChromaLocation=loc)
+        return out
+
+    def __call__(self, clip: Clip) -> Clip:
+        frames = tuple(self.process_frame(f) for f in clip.frames)
+        return Clip(
+            format=self.fmt,
+            frames=frames,
+            width=self.cfg.target_width,
+            height=self.cfg.target_height,
+        )
+
+
+def jinc_resize(
+    clip: Clip,
+    target_width: int,
+    target_height: int,
+    **kwargs,
+) -> Clip:
+    """``JincResize(clip, target_width, target_height, ...)`` — full 16-param
+    surface (JincResize.cpp:1044-1060)."""
+    cfg = JincConfig(target_width=target_width, target_height=target_height, **kwargs)
+    frame0 = clip.frames[0] if len(clip.frames) else None
+    resizer = JincResizer(clip.format, clip.width, clip.height, cfg, frame0=frame0)
+    return resizer(clip)
+
+
+def _alias(tap: int):
+    """Fixed-tap alias: forwards the reduced parameter set and pins tap
+    (resizer_jincresize<taps>, JincResize.cpp:1031-1040)."""
+
+    def fn(
+        clip: Clip,
+        target_width: int,
+        target_height: int,
+        src_left: float = 0.0,
+        src_top: float = 0.0,
+        src_width: float | None = None,
+        src_height: float | None = None,
+        quant_x: int = 256,
+        quant_y: int = 256,
+        cplace: str | None = None,
+        threads: int = 0,
+        **extra,
+    ) -> Clip:
+        return jinc_resize(
+            clip,
+            target_width,
+            target_height,
+            src_left=src_left,
+            src_top=src_top,
+            src_width=src_width,
+            src_height=src_height,
+            quant_x=quant_x,
+            quant_y=quant_y,
+            cplace=cplace,
+            threads=threads,
+            tap=tap,
+            **extra,
+        )
+
+    fn.__name__ = f"jinc{tap * tap * 4}_resize"
+    return fn
+
+
+jinc36_resize = _alias(3)
+jinc64_resize = _alias(4)
+jinc144_resize = _alias(6)
+jinc256_resize = _alias(8)

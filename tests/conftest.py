@@ -1,0 +1,16 @@
+"""Test harness configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding is tested on the standard JAX fake-multi-device CPU
+harness (SURVEY.md §4): 8 virtual CPU devices stand in for a TPU slice. This
+must run before any JAX backend initialization; the axon TPU plugin registered
+by sitecustomize is overridden by re-selecting the cpu platform.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,79 @@
+"""Sharded apply tests on the 8-virtual-CPU-device harness (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from jincresize_tpu.golden import apply_plane_numpy
+from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from jincresize_tpu.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_rows=8, n_data=1)
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    import jax
+
+    from jincresize_tpu.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_rows=4, n_data=2)
+
+
+def test_row_shard_parity_upscale(mesh8):
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
+    fn, plan = make_sharded_apply(op, mesh8)
+    assert not plan.replicate_src
+    assert plan.halo_up > 0 or plan.halo_dn > 0  # real halo exchange happened
+    rng = np.random.default_rng(0)
+    src = rng.random((72, 96), dtype=np.float32)
+    out = np.asarray(fn(src))
+    ref = apply_plane_numpy(op, src)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_row_shard_parity_downscale_fallback(mesh8):
+    # Deep downscale: support exceeds neighbor band -> replicated-src fallback.
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(128, 128, 24, 24, radius_for_tap(4))
+    fn, plan = make_sharded_apply(op, mesh8)
+    rng = np.random.default_rng(1)
+    src = rng.random((128, 128), dtype=np.float32)
+    out = np.asarray(fn(src))
+    ref = apply_plane_numpy(op, src)
+    assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_data_and_row_shard(mesh_2x4):
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
+    fn, plan = make_sharded_apply(op, mesh_2x4, data_axis="data")
+    rng = np.random.default_rng(2)
+    src = rng.random((4, 72, 96), dtype=np.float32)
+    out = np.asarray(fn(src))
+    ref = np.stack([apply_plane_numpy(op, s) for s in src])
+    assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_uniform_form_matches_dense():
+    from jincresize_tpu.golden import materialize_blocks
+    from jincresize_tpu.sharding import build_uniform
+
+    op = build_plane_operator(48, 32, 72, 50, radius_for_tap(3))
+    blocks_all, bid = build_uniform(op)
+    dense = materialize_blocks(op)
+    np.testing.assert_array_equal(blocks_all[bid], dense)
