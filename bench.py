@@ -28,7 +28,9 @@ def main():
     ap.add_argument("--small", action="store_true", help="reduced size (CI/dev)")
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument(
+        "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,17 +53,21 @@ def main():
     rng = np.random.default_rng(0)
 
     impl = args.impl
-    if impl == "auto":
-        try:
-            from jincresize_tpu.kernels import pallas_tile  # noqa: F401
+    cop = None
+    if impl in ("auto", "conv"):
+        from jincresize_tpu import apply_conv
 
-            impl = "pallas" if pallas_tile.is_supported() else "xla"
-        except Exception:
-            impl = "xla"
+        cop = apply_conv.build_conv_operator(op)
+        if impl == "auto":
+            impl = "conv" if cop is not None else "xla"
 
     if args.frames > 1:
         src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
-        if impl == "pallas":
+        if impl == "conv":
+            from jincresize_tpu import apply_conv
+
+            fn = lambda s: apply_conv.resize_plane_conv_batch(cop, s)
+        elif impl == "pallas":
             from jincresize_tpu.kernels import pallas_tile
 
             fn = pallas_tile.make_batch_fn(op)
@@ -69,7 +75,11 @@ def main():
             fn = lambda s: apply_xla.resize_plane_batch(dop, s)
     else:
         src = jnp.asarray(rng.random((sh, sw), dtype=np.float32))
-        if impl == "pallas":
+        if impl == "conv":
+            from jincresize_tpu import apply_conv
+
+            fn = lambda s: apply_conv.resize_plane_conv(cop, s)
+        elif impl == "pallas":
             from jincresize_tpu.kernels import pallas_tile
 
             fn = pallas_tile.make_frame_fn(op)

@@ -53,8 +53,10 @@ class JincConfig:
     opt: int = -1
     initial_capacity: int | None = None
     initial_factor: float = 1.5
-    # TPU-native execution selector (replaces the ISA dispatch, SURVEY C17).
-    impl: str = "auto"  # 'auto' | 'xla' | 'pallas' | 'numpy'
+    # TPU-native execution selector (replaces the ISA dispatch, SURVEY C17):
+    # 'auto' prefers the phase-conv MXU path when the geometry is periodic,
+    # falling back to the XLA gather path; 'numpy' is the host golden.
+    impl: str = "auto"  # 'auto' | 'conv' | 'xla' | 'pallas' | 'numpy'
     # Float-path source clamp: the reference's SIMD kernels clamp float
     # sources at -0.5 (chroma/alpha) / 0.0 (luma/RGB) while the C kernel does
     # not. None reproduces the reference dispatch: clamp unless opt == 0.
@@ -106,7 +108,7 @@ def _validate(cfg: JincConfig) -> None:
         )
     if cfg.initial_capacity is not None and cfg.initial_capacity <= 0:
         raise JincError("JincResize: initial_capacity must be greater than 0.")
-    if cfg.impl not in ("auto", "xla", "pallas", "numpy"):
+    if cfg.impl not in ("auto", "conv", "xla", "pallas", "numpy"):
         raise JincError(f"JincResize: unknown impl {cfg.impl!r}.")
 
 
@@ -199,13 +201,26 @@ class JincResizer:
                 lut=lut,
             )
 
-        self._impl = "xla" if cfg.impl == "auto" else cfg.impl
+        self._impl = cfg.impl
         self._dev_luma = None
         self._dev_chroma = None
-        if self._impl in ("xla", "pallas"):
+        self._conv_luma = None
+        self._conv_chroma = None
+        if self._impl in ("auto", "conv", "xla", "pallas"):
             self._dev_luma = apply_xla.to_device(self.op_luma)
             if self.op_chroma is not None:
                 self._dev_chroma = apply_xla.to_device(self.op_chroma)
+        if self._impl in ("auto", "conv"):
+            from . import apply_conv
+
+            self._conv_luma = apply_conv.build_conv_operator(self.op_luma)
+            if self.op_chroma is not None:
+                self._conv_chroma = apply_conv.build_conv_operator(self.op_chroma)
+            if self._impl == "conv" and self._conv_luma is None:
+                raise JincError(
+                    "JincResize: impl='conv' requires periodic geometry "
+                    "(use impl='auto' for automatic fallback)."
+                )
 
         # Float-source clamp per plane (SIMD semantics unless opt==0).
         clamp = cfg.float_clamp
@@ -219,8 +234,8 @@ class JincResizer:
         subsampled formats, everything else (incl. alpha) uses out[0]
         (resize_plane kernels' table select, e.g. resize_plane_avx2.cpp:26-32)."""
         if name in ("U", "V") and self.op_chroma is not None:
-            return self.op_chroma, self._dev_chroma
-        return self.op_luma, self._dev_luma
+            return self.op_chroma, self._dev_chroma, self._conv_chroma
+        return self.op_luma, self._dev_luma, self._conv_luma
 
     def _clamp_min(self, name: str) -> float | None:
         if not self._float_clamp:
@@ -238,7 +253,7 @@ class JincResizer:
         dtype = self.fmt.dtype
         peak = self.peak
         for name in self.fmt.plane_names:
-            op, dop = self._plane_op(name)
+            op, dop, cop = self._plane_op(name)
             src = frame.planes[name]
             cmin = self._clamp_min(name)
             if self._impl == "numpy":
@@ -246,6 +261,16 @@ class JincResizer:
                     op, np.asarray(src), out_dtype=dtype, peak=peak,
                     float_clamp_min=cmin,
                 )
+            elif cop is not None and self._impl in ("auto", "conv"):
+                import jax.numpy as jnp
+
+                from . import apply_conv
+
+                out = apply_conv.resize_plane_conv(
+                    cop, jnp.asarray(src), out_dtype=dtype, peak=peak,
+                    float_clamp_min=cmin,
+                )
+                out_planes[name] = np.asarray(out)
             else:
                 import jax.numpy as jnp
 

@@ -107,22 +107,6 @@ def to_device(op: PlaneOperator) -> DevicePlaneOperator:
     )
 
 
-def _tap_weight_map(dop: DevicePlaneOperator, ly, lx) -> jax.Array:
-    """Assemble the (dst_h, dst_w) weight map of tap (ly, lx)."""
-    n_uy, n_ux, fs, _ = dop.pair_blocks.shape
-    pane = jax.lax.dynamic_slice(
-        dop.pair_blocks, (0, 0, ly, lx), (n_uy, n_ux, 1, 1)
-    )[..., 0, 0]
-    wv = pane[dop.cy_idx[:, None], dop.cx_idx[None, :]]
-    for s in dop.strips:
-        ny, nx = s.blocks.shape[:2]
-        sb = jax.lax.dynamic_slice(s.blocks, (0, 0, ly, lx), (ny, nx, 1, 1))[
-            ..., 0, 0
-        ]
-        wv = jax.lax.dynamic_update_slice(wv, sb, (s.y0, s.x0))
-    return wv
-
-
 def apply_plane(
     dop: DevicePlaneOperator,
     src: jax.Array,

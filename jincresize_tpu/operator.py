@@ -139,7 +139,17 @@ def compute_blocks(
     times float64 filter step), squared-radius LUT index with
     round-half-to-even (the DOUBLE_ROUND_MAGIC_NUMBER trick at :488 is exactly
     float64 rint), float32 LUT factor, serial float32 normalization.
+
+    Dispatches to the native C++ core (native/jinc_builder.cpp, bit-identical
+    semantics) when a toolchain is available; NumPy otherwise.
     """
+    from . import native
+
+    out = native.compute_blocks_native(
+        dist_y, dist_x, step_y, step_x, lut, radius, samples
+    )
+    if out is not None:
+        return out
     radius2 = f64(radius) * f64(radius)
     dy = dist_y.astype(f64) * f64(step_y)  # (ny, fs)
     dx = dist_x.astype(f64) * f64(step_x)  # (nx, fs)

@@ -1,0 +1,133 @@
+"""Phase-conv path tests: plan detection, parity, fixups, batching."""
+
+import numpy as np
+import pytest
+
+from jincresize_tpu.golden import apply_plane_numpy
+from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+from jincresize_tpu.phase import plan_phases
+
+
+def _parity(op, seed=0, dtype=np.float32, peak=None, tol=1e-6):
+    import jax.numpy as jnp
+
+    from jincresize_tpu import apply_conv
+
+    cop = apply_conv.build_conv_operator(op)
+    assert cop is not None
+    rng = np.random.default_rng(seed)
+    if dtype == np.float32:
+        src = rng.random((op.src_height, op.src_width), dtype=np.float32)
+    else:
+        src = rng.integers(0, int(peak) + 1, (op.src_height, op.src_width)).astype(
+            dtype
+        )
+    a = np.asarray(
+        apply_conv.resize_plane_conv(cop, jnp.asarray(src), out_dtype=dtype, peak=peak)
+    )
+    b = apply_plane_numpy(op, src, out_dtype=dtype, peak=peak)
+    if dtype == np.float32:
+        assert np.abs(a - b).max() <= tol
+    else:
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    return cop
+
+
+def test_exact_2x_upscale_no_exceptions():
+    op = build_plane_operator(64, 48, 128, 96, radius_for_tap(8))
+    plan = plan_phases(op)
+    assert plan.x.p == 2 and plan.x.q == 1
+    assert len(plan.x.exceptions) == 0 and len(plan.y.exceptions) == 0
+    _parity(op)
+    _parity(op, dtype=np.uint8, peak=255.0)
+
+
+def test_downscale_periodic():
+    op = build_plane_operator(96, 60, 64, 40, radius_for_tap(3))
+    plan = plan_phases(op)
+    assert plan is not None and plan.x.q > plan.x.p  # downscale advances faster
+    _parity(op)
+
+
+def test_drifty_case_with_exceptions():
+    # 2/3-step drift: exception columns/rows must be patched correctly.
+    op = build_plane_operator(320, 180, 480, 270, radius_for_tap(3))
+    plan = plan_phases(op)
+    assert plan is not None
+    assert len(plan.x.exceptions) > 0 or len(plan.y.exceptions) > 0
+    _parity(op)
+    _parity(op, dtype=np.uint16, peak=1023.0)
+
+
+def test_crop_periodic():
+    op = build_plane_operator(
+        64, 48, 96, 72, radius_for_tap(3), crop_left=1.3, crop_top=0.6
+    )
+    _parity(op)
+
+
+def test_aperiodic_returns_none():
+    op = build_plane_operator(719, 479, 1077, 717, radius_for_tap(2))
+    # Either no plan, or a plan whose exceptions stay under the cap — both OK;
+    # what matters is build_conv_operator not lying.
+    from jincresize_tpu import apply_conv
+
+    cop = apply_conv.build_conv_operator(op)
+    if cop is not None:
+        _parity(op, tol=2e-6)
+
+
+def test_batch_conv():
+    import jax.numpy as jnp
+
+    from jincresize_tpu import apply_conv
+
+    op = build_plane_operator(64, 48, 128, 96, radius_for_tap(3))
+    cop = apply_conv.build_conv_operator(op)
+    rng = np.random.default_rng(3)
+    srcb = rng.random((3, 48, 64), dtype=np.float32)
+    ab = np.asarray(apply_conv.resize_plane_conv_batch(cop, jnp.asarray(srcb)))
+    bb = np.stack([apply_plane_numpy(op, s) for s in srcb])
+    assert np.abs(ab - bb).max() <= 1e-6
+
+
+def test_pallas_interior_interpret():
+    """Pallas phase kernel (interpret mode on CPU) matches the golden."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.apply_conv import ConvApplier
+
+    op = build_plane_operator(64, 48, 128, 96, radius_for_tap(3))
+    ap = ConvApplier(op, interior="pallas")
+    rng = np.random.default_rng(7)
+    src = rng.random((48, 64), dtype=np.float32)
+    a = np.asarray(ap(jnp.asarray(src)))
+    b = apply_plane_numpy(op, src)
+    assert np.abs(a - b).max() <= 1e-6
+    # u8 finalize through the applier
+    srcu = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    au = np.asarray(ap(jnp.asarray(srcu), out_dtype=np.uint8, peak=255.0))
+    bu = apply_plane_numpy(op, srcu, out_dtype=np.uint8, peak=255)
+    assert np.abs(au.astype(int) - bu.astype(int)).max() <= 1
+
+
+def test_api_auto_uses_conv():
+    from jincresize_tpu.api import JincConfig, JincResizer
+    from jincresize_tpu.clip import Clip, random_frame, yuv420p
+
+    clip = Clip.from_frames([random_frame(yuv420p(8), 64, 48, seed=5)])
+    cfg = JincConfig(target_width=128, target_height=96, impl="auto")
+    r = JincResizer(clip.format, 64, 48, cfg, frame0=clip.frames[0])
+    assert r._conv_luma is not None
+    out = r.process_frame(clip.frames[0])
+    ref = JincResizer(
+        clip.format,
+        64,
+        48,
+        JincConfig(target_width=128, target_height=96, impl="numpy"),
+        frame0=clip.frames[0],
+    ).process_frame(clip.frames[0])
+    for n in out.planes:
+        assert (
+            np.abs(out.planes[n].astype(int) - ref.planes[n].astype(int)).max() <= 1
+        )

@@ -1,0 +1,109 @@
+"""Auxiliary subsystems: cache round-trip, metrics, CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from jincresize_tpu.cache import cached_build, load_operator, save_operator
+from jincresize_tpu.golden import apply_plane_numpy
+from jincresize_tpu.metrics import ThroughputMeter, log_operator_stats
+from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+
+def test_cache_roundtrip(tmp_path):
+    op = build_plane_operator(48, 32, 72, 50, radius_for_tap(3))
+    p = tmp_path / "op.npz"
+    save_operator(op, p)
+    op2 = load_operator(p)
+    rng = np.random.default_rng(0)
+    src = rng.random((32, 48), dtype=np.float32)
+    np.testing.assert_array_equal(
+        apply_plane_numpy(op, src), apply_plane_numpy(op2, src)
+    )
+    assert op2.filter_size == op.filter_size
+    assert len(op2.strips) == len(op.strips)
+
+
+def test_cached_build(tmp_path):
+    calls = []
+
+    def build(**kw):
+        calls.append(kw)
+        return build_plane_operator(radius=radius_for_tap(2), **kw)
+
+    kw = dict(src_width=40, src_height=30, dst_width=60, dst_height=44)
+    a = cached_build(build, cache_dir=tmp_path, **kw)
+    b = cached_build(build, cache_dir=tmp_path, **kw)
+    assert len(calls) == 1  # second call served from cache
+    np.testing.assert_array_equal(a.pair_blocks, b.pair_blocks)
+
+
+def test_metrics():
+    op = build_plane_operator(48, 32, 72, 50, radius_for_tap(3))
+    st = log_operator_stats(op)
+    meter = ThroughputMeter(
+        dst_pixels=st["dst_pixels"], logical_nnz=st["logical_nnz"]
+    )
+    with meter.measure():
+        pass
+    rep = meter.report()
+    assert rep["frames"] == 1 and rep["px_per_s"] > 0
+
+
+def test_cli_roundtrip(tmp_path):
+    src = np.random.default_rng(0).integers(0, 256, (24, 32)).astype(np.uint8)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, src)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "jincresize_tpu",
+            str(inp),
+            str(outp),
+            "--width",
+            "48",
+            "--height",
+            "36",
+            "--impl",
+            "numpy",
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+        },
+    )
+    assert r.returncode == 0, r.stderr
+    out = np.load(outp)
+    assert out.shape == (36, 48) and out.dtype == np.uint8
+
+
+def test_cli_validation_error(tmp_path):
+    src = np.zeros((24, 32), dtype=np.uint8)
+    inp = tmp_path / "in.npy"
+    np.save(inp, src)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "jincresize_tpu",
+            str(inp),
+            str(tmp_path / "o.npy"),
+            "--width",
+            "48",
+            "--height",
+            "36",
+            "--tap",
+            "0",
+            "--impl",
+            "numpy",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 2
+    assert "tap must be between 1..16" in r.stderr

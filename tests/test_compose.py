@@ -1,0 +1,60 @@
+"""SpGEMM composition tests: composed operator vs sequential application."""
+
+import numpy as np
+import pytest
+
+from jincresize_tpu.compose import compose
+from jincresize_tpu.golden import apply_plane_numpy, materialize_blocks
+from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+
+@pytest.fixture(scope="module")
+def ops():
+    A = build_plane_operator(40, 30, 60, 44, radius_for_tap(2))
+    B = build_plane_operator(60, 44, 90, 66, radius_for_tap(2))
+    return A, B
+
+
+def test_composed_matches_sequential_float(ops):
+    A, B = ops
+    R = compose(A, B)
+    rng = np.random.default_rng(0)
+    src = rng.random((30, 40), dtype=np.float32)
+    seq = apply_plane_numpy(B, apply_plane_numpy(A, src))
+    one = apply_plane_numpy(R, src)
+    # float32-accumulation differences only; composition itself is float64.
+    assert np.abs(one - seq).max() < 1e-4
+
+
+def test_composed_rows_sum_to_one(ops):
+    A, B = ops
+    R = compose(A, B)
+    blocks = materialize_blocks(R)
+    sums = blocks.reshape(R.dst_height, R.dst_width, -1).astype(np.float64).sum(-1)
+    assert np.abs(sums - 1.0).max() < 1e-4
+
+
+def test_composed_geometry(ops):
+    A, B = ops
+    R = compose(A, B)
+    assert (R.src_width, R.src_height) == (A.src_width, A.src_height)
+    assert (R.dst_width, R.dst_height) == (B.dst_width, B.dst_height)
+    assert R.filter_size >= A.filter_size  # support widens through composition
+
+
+def test_compose_with_downscale():
+    A = build_plane_operator(48, 36, 24, 18, radius_for_tap(2))  # down 2x
+    B = build_plane_operator(24, 18, 36, 28, radius_for_tap(2))  # up 1.5x
+    R = compose(A, B)
+    rng = np.random.default_rng(1)
+    src = rng.random((36, 48), dtype=np.float32)
+    seq = apply_plane_numpy(B, apply_plane_numpy(A, src))
+    one = apply_plane_numpy(R, src)
+    assert np.abs(one - seq).max() < 1e-4
+
+
+def test_compose_dim_mismatch():
+    A = build_plane_operator(40, 30, 60, 44, radius_for_tap(2))
+    B = build_plane_operator(61, 44, 90, 66, radius_for_tap(2))
+    with pytest.raises(ValueError, match="source geometry must match"):
+        compose(A, B)
