@@ -53,38 +53,28 @@ def main():
     rng = np.random.default_rng(0)
 
     impl = args.impl
-    cop = None
-    if impl in ("auto", "conv"):
-        from jincresize_tpu import apply_conv
+    if impl == "auto":
+        from jincresize_tpu.phase import plan_phases
 
-        cop = apply_conv.build_conv_operator(op)
-        if impl == "auto":
-            impl = "conv" if cop is not None else "xla"
+        impl = "conv" if plan_phases(op) is not None else "xla"
 
+    if impl in ("conv", "pallas"):
+        from jincresize_tpu.apply_conv import ConvApplier
+
+        interior = "pallas" if impl == "pallas" else "auto"
+        applier = ConvApplier(op, interior=interior)
+        print(f"# interior engine: {applier.interior}", file=sys.stderr)
+        fn = applier
+    else:
+        fn = (
+            (lambda s: apply_xla.resize_plane_batch(dop, s))
+            if args.frames > 1
+            else (lambda s: apply_xla.resize_plane(dop, s))
+        )
     if args.frames > 1:
         src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
-        if impl == "conv":
-            from jincresize_tpu import apply_conv
-
-            fn = lambda s: apply_conv.resize_plane_conv_batch(cop, s)
-        elif impl == "pallas":
-            from jincresize_tpu.kernels import pallas_tile
-
-            fn = pallas_tile.make_batch_fn(op)
-        else:
-            fn = lambda s: apply_xla.resize_plane_batch(dop, s)
     else:
         src = jnp.asarray(rng.random((sh, sw), dtype=np.float32))
-        if impl == "conv":
-            from jincresize_tpu import apply_conv
-
-            fn = lambda s: apply_conv.resize_plane_conv(cop, s)
-        elif impl == "pallas":
-            from jincresize_tpu.kernels import pallas_tile
-
-            fn = pallas_tile.make_frame_fn(op)
-        else:
-            fn = lambda s: apply_xla.resize_plane(dop, s)
 
     # warmup/compile. NOTE: a scalar reduction is fetched to force execution —
     # block_until_ready alone does not reliably block on the axon remote
@@ -93,12 +83,21 @@ def main():
         return float(jnp.sum(fn(x)))
 
     run(src)
-    times = []
+    # Steady-state throughput: queue `iters` dispatches, sync once. A frame
+    # pipeline overlaps dispatch with execution (the reference's
+    # MT_MULTI_INSTANCE does the same on CPU); a per-call sync would measure
+    # the host<->device round-trip, not the device.
+    sums = []
+    t0 = time.time()
     for i in range(args.iters):
-        t = time.time()
-        run(src)
-        times.append(time.time() - t)
-    dt = min(times)
+        sums.append(jnp.sum(fn(src)))
+    _ = [float(s) for s in sums]
+    dt = (time.time() - t0) / args.iters
+    # Also record the synchronous per-call latency for reference.
+    t1 = time.time()
+    run(src)
+    lat = time.time() - t1
+    print(f"# sync per-call latency: {lat*1e3:.2f} ms", file=sys.stderr)
     frames = max(args.frames, 1)
     px_per_s = dw * dh * frames / dt
     print(

@@ -211,11 +211,17 @@ class JincResizer:
             if self.op_chroma is not None:
                 self._dev_chroma = apply_xla.to_device(self.op_chroma)
         if self._impl in ("auto", "conv"):
-            from . import apply_conv
+            from .apply_conv import ConvApplier
 
-            self._conv_luma = apply_conv.build_conv_operator(self.op_luma)
+            def _try_applier(op):
+                try:
+                    return ConvApplier(op)
+                except ValueError:
+                    return None
+
+            self._conv_luma = _try_applier(self.op_luma)
             if self.op_chroma is not None:
-                self._conv_chroma = apply_conv.build_conv_operator(self.op_chroma)
+                self._conv_chroma = _try_applier(self.op_chroma)
             if self._impl == "conv" and self._conv_luma is None:
                 raise JincError(
                     "JincResize: impl='conv' requires periodic geometry "
@@ -264,10 +270,8 @@ class JincResizer:
             elif cop is not None and self._impl in ("auto", "conv"):
                 import jax.numpy as jnp
 
-                from . import apply_conv
-
-                out = apply_conv.resize_plane_conv(
-                    cop, jnp.asarray(src), out_dtype=dtype, peak=peak,
+                out = cop(
+                    jnp.asarray(src), out_dtype=dtype, peak=peak,
                     float_clamp_min=cmin,
                 )
                 out_planes[name] = np.asarray(out)

@@ -151,7 +151,9 @@ def apply_strips(dop: DevicePlaneOperator, src_f, canvas) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _assemble(cop: ConvOperator, conv: jax.Array, src_f: jax.Array) -> jax.Array:
+def _assemble(
+    cop: ConvOperator, conv: jax.Array, src_f: jax.Array, strips_fn=None
+) -> jax.Array:
     """Scatter phase-channel interior + exception fixups + strips -> canvas."""
     dop = cop.dop
     (ylo, xlo, py, px, qy, qx, base_y, base_x, nyb, nxb, Kh, Kw) = cop.meta
@@ -172,7 +174,10 @@ def _assemble(cop: ConvOperator, conv: jax.Array, src_f: jax.Array) -> jax.Array
         canvas = canvas.at[cop.exc_y, :].set(vals)
 
     # Border strips.
-    canvas = apply_strips(dop, src_f, canvas)
+    if strips_fn is not None:
+        canvas = strips_fn(dop, src_f, canvas)
+    else:
+        canvas = apply_strips(dop, src_f, canvas)
     return canvas
 
 
@@ -180,6 +185,7 @@ def apply_plane_conv(
     cop: ConvOperator,
     src: jax.Array,
     float_clamp_min: float | None = None,
+    strips_fn=None,
 ) -> jax.Array:
     """Resample one plane via the phase conv + fixups: float32 accumulator."""
     dop = cop.dop
@@ -240,7 +246,7 @@ def apply_plane_conv(
             for i, p in enumerate(ps):
                 parts[p] = acc_g[i]
         conv = jnp.stack(parts, axis=0)
-    return _assemble(cop, conv, src_f)
+    return _assemble(cop, conv, src_f, strips_fn=strips_fn)
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "peak", "float_clamp_min"))
@@ -272,6 +278,14 @@ class ConvApplier:
             raise ValueError("ConvApplier: geometry is aperiodic")
         self.cop = build_conv_operator(op, plan)
         self.fs = op.filter_size
+        from .apply_strips_fast import apply_strips_fast, plan_strips
+
+        self._strip_plans = plan_strips(op, plan)
+        if self._strip_plans is not None:
+            plans = self._strip_plans
+            self._strips_fn = lambda dop, s, c: apply_strips_fast(dop, plans, s, c)
+        else:
+            self._strips_fn = None
         backend = jax.default_backend()
         n_phases = len(self.cop.phase_offsets)
         if interior == "auto":
@@ -303,6 +317,8 @@ class ConvApplier:
                 base_x,
                 interpret=(backend != "tpu"),
             )
+        # cop is a jit ARGUMENT (not a closure): closure capture would embed
+        # the strip blocks as HLO constants — hundreds of MB at 8K.
         self._jit = jax.jit(
             self._apply, static_argnames=("out_dtype", "peak", "float_clamp_min")
         )
@@ -311,32 +327,41 @@ class ConvApplier:
             static_argnames=("out_dtype", "peak", "float_clamp_min"),
         )
 
-    def _acc(self, src):
-        src_f = src.astype(f32)
+    def _acc(self, cop, src_f):
         if self._interior_fn is not None:
             conv = self._interior_fn(src_f)
-            return _assemble(self.cop, conv, src_f)
-        return apply_plane_conv(self.cop, src_f)
+            return _assemble(cop, conv, src_f, strips_fn=self._strips_fn)
+        return apply_plane_conv(cop, src_f, strips_fn=self._strips_fn)
 
-    def _apply(self, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None):
+    def _apply(
+        self, cop, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None
+    ):
         src_f = src.astype(f32)
         if float_clamp_min is not None:
             src_f = jnp.maximum(src_f, jnp.float32(float_clamp_min))
-        return finalize(self._acc(src_f), out_dtype, peak)
+        return finalize(self._acc(cop, src_f), out_dtype, peak)
 
     def _apply_batch(
-        self, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None
+        self, cop, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None
     ):
-        fn = lambda s: self._apply(s, out_dtype, peak, float_clamp_min)
+        fn = lambda s: self._apply(cop, s, out_dtype, peak, float_clamp_min)
         return jax.vmap(fn)(src)
 
     def __call__(self, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None):
         if src.ndim == 3:
             return self._jit_batch(
-                src, out_dtype=out_dtype, peak=peak, float_clamp_min=float_clamp_min
+                self.cop,
+                src,
+                out_dtype=out_dtype,
+                peak=peak,
+                float_clamp_min=float_clamp_min,
             )
         return self._jit(
-            src, out_dtype=out_dtype, peak=peak, float_clamp_min=float_clamp_min
+            self.cop,
+            src,
+            out_dtype=out_dtype,
+            peak=peak,
+            float_clamp_min=float_clamp_min,
         )
 
 

@@ -33,25 +33,35 @@ from jax.experimental import pallas as pl
 
 f32 = jnp.float32
 
-TM = 16  # output block-rows per tile (qy*TM stays sublane-aligned)
-TN = 128  # output block-cols per tile (lane width)
+import os
+
+TM = int(os.environ.get("JINCRESIZE_PALLAS_TM", "32"))  # output rows per tile
+TN = int(os.environ.get("JINCRESIZE_PALLAS_TN", "256"))  # output cols per tile
 SUB = 8  # sublane alignment quantum
 LANE = 128  # lane alignment quantum
 MAX_PHASES = 16  # beyond this, per-phase kernel compiles are not worth it
 
 
 def _phase_kernel(
+    wband_ref,
     src_ref,
     out_ref,
     *,
-    w: tuple,  # ((w00, w01, ...), ...) static fs x fs weights
     ry: int,
     rx: int,
     fs: int,
     qy: int,
     qx: int,
 ):
-    """One (TM, TN) output tile of one phase channel (static specialization)."""
+    """One (TM, TN) output tile of one phase channel (static specialization).
+
+    The ly-accumulation is a banded matmul on the MXU: ``wband[lx]`` is the
+    (TM, Hb) matrix with the phase's column-lx weights on its stride-qy
+    diagonals, so ``wband[lx] @ col`` sums all vertical taps at once. This
+    removes the fs^2 sublane-unaligned vector shifts of the scalar-FMA
+    formulation (measured 2.5x the whole kernel's roofline cost) — only the
+    fs lane shifts remain on the VPU.
+    """
     Hb = qy * (TM - 1) + fs
     Wb = qx * (TN - 1) + fs
     blk = src_ref[ry : ry + Hb, rx : rx + Wb]
@@ -61,16 +71,13 @@ def _phase_kernel(
             col = jax.lax.slice(blk, (0, lx), (Hb, lx + TN))
         else:
             col = jax.lax.slice(blk, (0, lx), (Hb, lx + qx * (TN - 1) + 1), (1, qx))
-        for ly in range(fs):
-            if qy == 1:
-                sub = jax.lax.slice(col, (ly, 0), (ly + TM, TN))
-            else:
-                sub = jax.lax.slice(
-                    col, (ly, 0), (ly + qy * (TM - 1) + 1, TN), (qy, 1)
-                )
-            wv = w[ly][lx]
-            if wv != 0.0:
-                acc = acc + f32(wv) * sub
+        acc = acc + jax.lax.dot_general(
+            wband_ref[lx],
+            col,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
     out_ref[:] = acc
 
 
@@ -99,11 +106,19 @@ def make_phase_interior(
     Hb = _round_up(qy * (TM - 1) + fs + SUB, SUB)
     Wb = _round_up(qx * (TN - 1) + fs + LANE, LANE)
 
+    Hbu = qy * (TM - 1) + fs  # used (pre-slack) window height
+
     calls = []
     ext_y = 0
     ext_x = 0
     for p, (oy, ox) in enumerate(phase_offsets):
         W = kernels[p, 0, oy : oy + fs, ox : ox + fs]
+        # Banded vertical-tap matrices: wband[lx, m, s] = W[s - qy*m, lx].
+        wband = np.zeros((fs, TM, Hbu), dtype=np.float32)
+        for m in range(TM):
+            for ly in range(fs):
+                wband[:, m, qy * m + ly] = W[ly, :]
+        wband_dev = jnp.asarray(wband)
         ay = (base_y + oy) // SUB * SUB
         ax = (base_x + ox) // LANE * LANE
         ry = (base_y + oy) - ay
@@ -111,19 +126,16 @@ def make_phase_interior(
         ext_y = max(ext_y, ay + qy * TM * (Mt - 1) + Hb)
         ext_x = max(ext_x, ax + qx * TN * (Nt - 1) + Wb)
         kern = functools.partial(
-            _phase_kernel,
-            w=tuple(tuple(float(v) for v in row) for row in W),
-            ry=ry,
-            rx=rx,
-            fs=fs,
-            qy=qy,
-            qx=qx,
+            _phase_kernel, ry=ry, rx=rx, fs=fs, qy=qy, qx=qx
         )
         call = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((Mt * TM, Nt * TN), f32),
             grid=(Mt, Nt),
             in_specs=[
+                pl.BlockSpec(
+                    (fs, TM, Hbu), lambda i, j: (0, 0, 0)
+                ),
                 pl.BlockSpec(
                     (pl.Element(Hb), pl.Element(Wb)),
                     functools.partial(
@@ -132,12 +144,12 @@ def make_phase_interior(
                             ax + qx * TN * j,
                         )
                     ),
-                )
+                ),
             ],
             out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j)),
             interpret=interpret,
         )
-        calls.append(call)
+        calls.append((call, wband_dev))
 
     def fn(src_f):
         H, W_ = src_f.shape
@@ -145,7 +157,7 @@ def make_phase_interior(
         pad_w = max(0, ext_x - W_)
         if pad_h or pad_w:
             src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
-        outs = [call(src_f)[:nyb, :nxb] for call in calls]
+        outs = [call(wb, src_f)[:nyb, :nxb] for call, wb in calls]
         return jnp.stack(outs, axis=0)
 
     return fn
