@@ -26,7 +26,10 @@ BASELINE_PX_PER_S = 7680 * 4320 * (1.54e12 / 18.05e9)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="reduced size (CI/dev)")
-    ap.add_argument("--frames", type=int, default=1)
+    # Frames are batched per dispatch (vmap SpMM — BASELINE.json config #4's
+    # frame batching): the axon tunnel costs ~23 ms per dispatch that does
+    # not pipeline, so single-frame dispatch measures the tunnel, not the TPU.
+    ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
         "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
@@ -45,7 +48,16 @@ def main():
         sw, sh, dw, dh = 3840, 2160, 7680, 4320
 
     t0 = time.time()
-    op = build_plane_operator(sw, sh, dw, dh, radius_for_tap(8))
+    from jincresize_tpu.cache import cached_build
+
+    op = cached_build(
+        build_plane_operator,
+        src_width=sw,
+        src_height=sh,
+        dst_width=dw,
+        dst_height=dh,
+        radius=radius_for_tap(8),
+    )
     build_s = time.time() - t0
     print(f"# operator built in {build_s:.1f}s: {op.stats()}", file=sys.stderr)
 

@@ -17,6 +17,7 @@ consumes at full tilt (SURVEY.md §7 "hard parts": gather irregularity).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -152,16 +153,29 @@ def apply_strips(dop: DevicePlaneOperator, src_f, canvas) -> jax.Array:
 
 
 def _assemble(
-    cop: ConvOperator, conv: jax.Array, src_f: jax.Array, strips_fn=None
+    cop: ConvOperator,
+    conv: jax.Array,
+    src_f: jax.Array,
+    strips_fn=None,
+    interior_layout: str = "phase",
 ) -> jax.Array:
-    """Scatter phase-channel interior + exception fixups + strips -> canvas."""
+    """Scatter phase-channel interior + exception fixups + strips -> canvas.
+
+    ``interior_layout='phase'`` takes (py*px, nyb, nxb) phase planes and
+    interleaves them (an XLA transpose — expensive at 8K); ``'dst'`` takes a
+    (py*nyb, px*nxb) block already in destination layout (the fused kernel's
+    output) and pastes it directly.
+    """
     dop = cop.dop
     (ylo, xlo, py, px, qy, qx, base_y, base_x, nyb, nxb, Kh, Kw) = cop.meta
-    block = (
-        conv.reshape(py, px, nyb, nxb)
-        .transpose(2, 0, 3, 1)
-        .reshape(py * nyb, px * nxb)
-    )
+    if interior_layout == "dst":
+        block = conv
+    else:
+        block = (
+            conv.reshape(py, px, nyb, nxb)
+            .transpose(2, 0, 3, 1)
+            .reshape(py * nyb, px * nxb)
+        )
     canvas = jnp.zeros((dop.dst_height, dop.dst_width), dtype=f32)
     canvas = jax.lax.dynamic_update_slice(canvas, block, (ylo, xlo))
 
@@ -289,16 +303,29 @@ class ConvApplier:
         backend = jax.default_backend()
         n_phases = len(self.cop.phase_offsets)
         if interior == "auto":
+            from .kernels import pallas_fused
             from .kernels.pallas_phase import is_supported
 
-            interior = (
-                "pallas"
-                if backend == "tpu" and is_supported(self.fs, n_phases)
-                else "shift"
-            )
+            if backend == "tpu" and pallas_fused.is_supported(op, plan):
+                interior = "fused"
+            elif backend == "tpu" and is_supported(self.fs, n_phases):
+                interior = "pallas"
+            else:
+                interior = "shift"
         self.interior = interior
         self._interior_fn = None
-        if interior == "pallas":
+        self._interior_layout = "phase"
+        if interior == "fused":
+            from .kernels.pallas_fused import make_fused_interior
+
+            self._interior_fn = make_fused_interior(
+                op,
+                plan,
+                precision=os.environ.get("JINCRESIZE_FUSED_PRECISION", "highest"),
+                interpret=(backend != "tpu"),
+            )
+            self._interior_layout = "dst"
+        elif interior == "pallas":
             from .kernels.pallas_phase import make_phase_interior
 
             K_np = build_conv_kernels(op, plan)
@@ -330,7 +357,13 @@ class ConvApplier:
     def _acc(self, cop, src_f):
         if self._interior_fn is not None:
             conv = self._interior_fn(src_f)
-            return _assemble(cop, conv, src_f, strips_fn=self._strips_fn)
+            return _assemble(
+                cop,
+                conv,
+                src_f,
+                strips_fn=self._strips_fn,
+                interior_layout=self._interior_layout,
+            )
         return apply_plane_conv(cop, src_f, strips_fn=self._strips_fn)
 
     def _apply(
