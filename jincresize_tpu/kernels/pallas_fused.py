@@ -10,12 +10,12 @@ interleave, which cost ~4x the kernel itself in HBM-layout transposes at 8K):
   * vertical taps are a banded matmul (as before), but ``g = 128 // Hbu``
     horizontal taps are packed along K per dot (sublane-concat of shifted
     strided column slices), cutting the K-padding waste by ``g``;
-  * column phases are accumulated separately (their weights differ) and
-    lane-interleaved in-register once per tile (``stack(-1).reshape``), so
-    the single store is contiguous in dst layout;
-  * precision is selectable: HIGHEST (6-pass, bit-parity default) or HIGH
-    (3-pass bf16, ~1e-7 relative — still inside the framework's fp32
-    tolerance; see tests).
+  * column phases sharing a base offset (offs_x equal — all integer
+    upscales) share their packed operands; their accumulators are written
+    with lane-strided stores (or an exact 0/1 scatter matmul fallback), so
+    the output lands interleaved in dst layout with no XLA transpose;
+  * precision is selectable: HIGHEST (6-pass, bit-parity default) or
+    DEFAULT (1-pass bf16 fast mode, documented non-parity).
 
 Replaces the reference's per-ISA gather loops (resize_plane_avx512.cpp) with
 one shape-specialized MXU schedule; the quantized phase dictionary
@@ -77,7 +77,9 @@ def _fused_kernel(
     w_ref,  # (px, n_d, TMo, Kp)
     src_ref,  # (Hb, Wb) window
     out_ref,  # (TMo, TNo) dst-layout tile
-    colp_ref,  # (Kp, TNb) VMEM scratch for packed column segments
+    colp_ref,  # (n_d, Kp, TNb) VMEM scratch for packed column segments
+    #            (one region per dot so consecutive stage->dot chains don't
+    #            serialize on a single buffer)
     *,
     ry0: int,
     col0: tuple,  # per-rx static base column offset (rx0 + ox[rx]-min_ox)
@@ -87,6 +89,7 @@ def _fused_kernel(
     qx: int,
     tnb: int,
     precision,
+    interleave: str,
 ):
     blk = src_ref[ry0 : ry0 + hbu_p, :]
 
@@ -95,33 +98,48 @@ def _fused_kernel(
             blk, (0, c0), (hbu_p, c0 + qx * (tnb - 1) + 1), (1, qx)
         )
 
-    accs = []
+    # Column phases sharing a base offset (offs_x equal — always true for
+    # integer upscales) share their packed operands: build each colp once.
+    groups: dict[int, list[int]] = {}
     for rx in range(px):
-        acc = jnp.zeros((w_ref.shape[2], tnb), dtype=f32)
+        groups.setdefault(col0[rx], []).append(rx)
+
+    tmo = w_ref.shape[2]
+    accs = [jnp.zeros((tmo, tnb), dtype=f32) for _ in range(px)]
+    for c0, rxs in groups.items():
+        colps = []
         for d, taps in enumerate(packs):
             if len(taps) == 1:
-                colp = seg(col0[rx] + taps[0])
+                colps.append(seg(c0 + taps[0]))
             else:
                 # Sublane-concat via scratch: the shifted slices carry
                 # different lane offsets, which tpu.concatenate rejects;
                 # stores normalize the layout.
                 for t, lx in enumerate(taps):
-                    colp_ref[t * hbu_p : (t + 1) * hbu_p, :] = seg(col0[rx] + lx)
-                colp = colp_ref[: len(taps) * hbu_p, :]
-            acc = acc + jax.lax.dot_general(
-                w_ref[rx, d][:, : len(taps) * hbu_p],
-                colp,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=f32,
-            )
-        accs.append(acc)
+                    colp_ref[d, t * hbu_p : (t + 1) * hbu_p, :] = seg(c0 + lx)
+                colps.append(colp_ref[d, : len(taps) * hbu_p, :])
+        for d, taps in enumerate(packs):
+            colp = colps[d]
+            for rx in rxs:
+                accs[rx] = accs[rx] + jax.lax.dot_general(
+                    w_ref[rx, d][:, : len(taps) * hbu_p],
+                    colp,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=f32,
+                )
     if px == 1:
         out_ref[:] = accs[0]
+    elif interleave == "store":
+        # Lane-strided stores: no extra FLOPs, but unsupported by current
+        # Mosaic ("last dim size is not 128 in original base memref") —
+        # experimental, enable via JINCRESIZE_FUSED_INTERLEAVE=store.
+        for rx in range(px):
+            out_ref[:, pl.Slice(rx, tnb, px)] = accs[rx]
     else:
         # Column-phase interleave on the MXU: acc_rx @ E_rx with E_rx the 0/1
-        # scatter (TNb, TNo), E[j, px*j+rx] = 1 — Mosaic has no lane
-        # interleave relayout, but a 0/1 matmul costs ~1 extra dot per phase.
+        # scatter (TNb, TNo), E[j, px*j+rx] = 1 — a fallback for Mosaic
+        # versions without lane-strided stores.
         tno = tnb * px
         rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
@@ -144,6 +162,7 @@ def make_fused_interior(
     op: PlaneOperator,
     plan: PhasePlan,
     precision: str = "highest",
+    interleave: str | None = None,
     interpret: bool = False,
 ):
     """Build fn(src_f32) -> (py*nyb, px*nxb) interior in destination layout.
@@ -222,6 +241,8 @@ def make_fused_interior(
         qx=qx,
         tnb=tnb,
         precision=prec,
+        interleave=interleave
+        or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "dot"),
     )
     call = pl.pallas_call(
         kern,
@@ -235,7 +256,7 @@ def make_fused_interior(
             ),
         ],
         out_specs=pl.BlockSpec((tmo, tno), lambda i, j: (i, j)),
-        scratch_shapes=[pltpu.VMEM((kp, tnb), f32)],
+        scratch_shapes=[pltpu.VMEM((n_d, kp, tnb), f32)],
         interpret=interpret,
     )
 

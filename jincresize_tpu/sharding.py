@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .operator import PlaneOperator
 
+f32 = jnp.float32
+
 
 def build_uniform(op: PlaneOperator) -> tuple[np.ndarray, np.ndarray]:
     """Flatten the operator to (blocks_all[NB, fs, fs], bid[dst_h, dst_w]).
@@ -147,13 +149,24 @@ def make_sharded_apply(
     mesh: Mesh,
     row_axis: str = "rows",
     data_axis: str | None = None,
+    impl: str = "auto",
 ):
     """Build a jitted sharded apply: (src [F?, src_h, src_w]) -> [F?, dst_h, dst_w].
 
     Returns (apply_fn, plan). ``apply_fn`` expects float32 sources; output is
     the float32 accumulator (finalize separately). With ``data_axis`` given,
     a leading frame axis is sharded over it (SpMM over the data dimension).
+
+    ``impl='auto'`` uses the phase-conv interior (make_sharded_apply_conv —
+    zero gathers, MXU-friendly) when the geometry qualifies, else the uniform
+    gather; 'conv'/'gather' force a path.
     """
+    if impl in ("auto", "conv"):
+        r = make_sharded_apply_conv(op, mesh, row_axis, data_axis)
+        if r is not None:
+            return r
+        if impl == "conv":
+            raise ValueError("sharded conv path: geometry not eligible")
     n = mesh.shape[row_axis]
     plan = plan_row_shard(op, n)
     fs = op.filter_size
@@ -239,6 +252,281 @@ def make_sharded_apply(
         return out[..., :dst_h, :]
 
     return apply_fn, plan
+
+
+# ---------------------------------------------------------------------------
+# Phase-conv sharded apply: MXU-native interior per device + thin patches.
+# ---------------------------------------------------------------------------
+
+
+def _shift_interior(seg, K_np, py, px, qy, qx, nyb_l, nxb, base_x, fs, offs_y, offs_x):
+    """Shift-sum phase interior on a local (seg_h, W_pad) segment.
+
+    Identical math to apply_conv.apply_plane_conv's interior, but row-local:
+    the caller has already dynamic-sliced ``seg`` so block 0's window starts
+    at row 0. Returns (py*nyb_l, px*nxb) in destination layout.
+    """
+    Kh, Kw = K_np.shape[2], K_np.shape[3]
+    nphase = py * px
+    K = jnp.asarray(K_np[:, 0])  # (nphase, Kh, Kw)
+    eh = (nyb_l - 1) * qy + Kh
+    ew = (nxb - 1) * qx + Kw
+    lhs = jax.lax.dynamic_slice(seg, (0, base_x), (eh, ew))
+
+    def window(a, b):
+        return jax.lax.slice(
+            lhs,
+            (a, b),
+            (a + (nyb_l - 1) * qy + 1, b + (nxb - 1) * qx + 1),
+            (qy, qx),
+        )
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for p in range(nphase):
+        ry, rx = divmod(p, px)
+        groups.setdefault((int(offs_y[ry]), int(offs_x[rx])), []).append(p)
+    parts = [None] * nphase
+    for (oy, ox), ps in groups.items():
+        Kg = K[jnp.asarray(ps)][:, oy : oy + fs, ox : ox + fs]
+        acc_g = jnp.zeros((len(ps), nyb_l, nxb), dtype=f32)
+        for a in range(fs):
+            for b in range(fs):
+                acc_g = acc_g + Kg[:, a, b][:, None, None] * window(oy + a, ox + b)[
+                    None
+                ]
+        for i, p in enumerate(ps):
+            parts[p] = acc_g[i]
+    conv = jnp.stack(parts, axis=0)
+    return (
+        conv.reshape(py, px, nyb_l, nxb)
+        .transpose(2, 0, 3, 1)
+        .reshape(py * nyb_l, px * nxb)
+    )
+
+
+def make_sharded_apply_conv(
+    op: PlaneOperator,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    data_axis: str | None = None,
+):
+    """Phase-conv sharded apply; None if the geometry doesn't qualify.
+
+    Per device: ppermute halo exchange -> dynamic-slice the local band at the
+    first (possibly straddling) phase-block boundary -> static shift-sum
+    interior in dst layout -> paste at a traced offset -> patch border strips,
+    exception rows and exception/border columns with the uniform gather.
+    The interior does zero gathers; patches touch O(fs) rows/cols.
+
+    This is the multi-chip analog of apply_conv (SURVEY.md §2 parallelism
+    table: row partitioning with tap-width halo over ICI); the reference has
+    no distributed mode at all.
+    """
+    from .phase import build_conv_kernels, plan_phases
+
+    pplan = plan_phases(op)
+    if pplan is None:
+        return None
+    n = mesh.shape[row_axis]
+    splan = plan_row_shard(op, n)
+    if splan.replicate_src:
+        return None
+
+    fs = op.filter_size
+    py, px = pplan.y.p, pplan.x.p
+    qy, qx = pplan.y.q, pplan.x.q
+    nyb, nxb = pplan.y.nblocks, pplan.x.nblocks
+    offs_y = pplan.y.offsets.astype(int)
+    offs_x = pplan.x.offsets.astype(int)
+    spread_y = int(offs_y.max())
+    base_y, base_x = pplan.y.base, pplan.x.base
+    ylo, xlo = pplan.y.lo, pplan.x.lo
+    yhi = ylo + py * nyb
+    xhi = xlo + px * nxb
+    dst_h, dst_w, src_h = op.dst_height, op.dst_width, op.src_height
+    td, ts = splan.dst_rows_per, splan.src_rows_per
+
+    # Guards: device 0 must own the whole top border, the interior must be
+    # tall enough for the straddling-block slack.
+    if td < max(ylo, py, fs) or nyb < 3:
+        return None
+
+    # Halo with extra margin so the straddler block's window start is >= 0.
+    hu = splan.halo_up + spread_y + qy
+    hd = splan.halo_dn + spread_y + qy
+    if hu > ts or hd > ts:
+        return None
+
+    K_np = build_conv_kernels(op, pplan)
+    Kw = K_np.shape[3]
+    nyb_l = td // py + 2  # blocks computed per device (covers straddlers)
+    seg_h = qy * (nyb_l - 1) + spread_y + fs
+    ew_req = base_x + (nxb - 1) * qx + Kw  # columns the interior reads
+
+    blocks_all, bid = build_uniform(op)
+
+    # Patch rows per device: strips + y-exceptions owned by each device.
+    exc_y = set(int(v) for v in pplan.y.exceptions)
+    patch_rows_per_dev = []
+    for d in range(n):
+        r0, r1 = d * td, min((d + 1) * td, dst_h)
+        rows = [r for r in range(r0, r1) if r < ylo or r >= yhi or r in exc_y]
+        patch_rows_per_dev.append(rows)
+    k_max = max(1, max(len(r) for r in patch_rows_per_dev))
+    idx_rows = np.zeros((n, k_max), dtype=np.int32)
+    for d, rows in enumerate(patch_rows_per_dev):
+        fill = rows if rows else [min(d * td, dst_h - 1)]
+        for k in range(k_max):
+            idx_rows[d, k] = fill[k] if k < len(fill) else fill[-1]
+
+    # Patch columns (same set on every device): border + x-exceptions.
+    cols = sorted(
+        set(range(0, xlo))
+        | set(range(xhi, dst_w))
+        | set(int(v) for v in pplan.x.exceptions)
+    )
+    cols_np = np.asarray(cols if cols else [0], dtype=np.int32)
+
+    start_y_p = np.zeros(td * n, dtype=np.int32)
+    start_y_p[:dst_h] = op.start_y
+    bid_p = np.zeros((td * n, dst_w), dtype=np.int32)
+    bid_p[:dst_h] = bid
+
+    blocks_d = jnp.asarray(blocks_all)
+    start_x_d = jnp.asarray(op.start_x)
+    start_x_cols = jnp.asarray(op.start_x[cols_np])
+    bid_cols_d = jnp.asarray(bid_p[:, cols_np])  # (td*n, ncols)
+    start_y_d = jnp.asarray(start_y_p)  # (td*n,)
+    idx_rows_d = jnp.asarray(idx_rows.reshape(n * k_max))  # shard by rows
+    sy_rows_d = jnp.asarray(op.start_y[idx_rows.reshape(-1)])
+    bid_rows_d = jnp.asarray(bid[idx_rows.reshape(-1)])  # (n*k_max, dst_w)
+
+    ext_h = td + ylo + py * (nyb_l + 2)
+    cols_j = jnp.asarray(cols_np)
+    axis = row_axis
+
+    def shard_fn(
+        src_local,  # (ts, W)
+        start_y_local,  # (td,)
+        bid_cols_local,  # (td, ncols)
+        idx_rows_local,  # (k_max,)
+        sy_rows_local,  # (k_max,)
+        bid_rows_local,  # (k_max, dst_w)
+        start_x,
+        start_x_c,
+        blocks,
+    ):
+        d = jax.lax.axis_index(axis)
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        parts = []
+        if hu > 0:
+            parts.append(jax.lax.ppermute(src_local[-hu:], axis, fwd))
+        parts.append(src_local)
+        if hd > 0:
+            parts.append(jax.lax.ppermute(src_local[:hd], axis, bwd))
+        band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src_local
+        band_start = d * ts - hu
+
+        # Interior: dynamic-slice the segment at the straddler block, then
+        # everything below is static.
+        bi0 = jnp.maximum(0, (d * td - ylo) // py)
+        pad_w = max(0, ew_req - band.shape[1])
+        band_p = jnp.pad(band, ((0, seg_h), (0, pad_w)))
+        seg_off = base_y + qy * bi0 - band_start
+        seg = jax.lax.dynamic_slice(
+            band_p, (seg_off, 0), (seg_h, band.shape[1] + pad_w)
+        )
+        block = _shift_interior(
+            seg, K_np, py, px, qy, qx, nyb_l, nxb, base_x, fs, offs_y, offs_x
+        )
+
+        canvas = jnp.zeros((ext_h, dst_w), dtype=f32)
+        paste_o = ylo + py * bi0 - d * td + py
+        canvas = jax.lax.dynamic_update_slice(
+            canvas,
+            block[: ext_h - py, :],
+            (paste_o, xlo),
+        )
+        canvas = jax.lax.slice(canvas, (py, 0), (py + td, dst_w))
+
+        vary = (axis,) if data_axis is None else (data_axis, axis)
+        # Patch rows (strips + y-exceptions): uniform gather on k_max rows.
+        vals_r = _local_apply(
+            band,
+            sy_rows_local - band_start,
+            start_x,
+            bid_rows_local,
+            blocks,
+            fs,
+            vary_axes=vary,
+        )
+        canvas = canvas.at[idx_rows_local - d * td].set(vals_r)
+
+        # Patch columns (strips + x-exceptions) for all owned rows.
+        vals_c = _local_apply(
+            band,
+            start_y_local - band_start,
+            start_x_c,
+            bid_cols_local,
+            blocks,
+            fs,
+            vary_axes=vary,
+        )
+        canvas = canvas.at[:, cols_j].set(vals_c)
+        return canvas
+
+    in_specs = (
+        P(axis, None),
+        P(axis),
+        P(axis, None),
+        P(axis),
+        P(axis),
+        P(axis, None),
+        P(None),
+        P(None),
+        P(None),
+    )
+
+    if data_axis is not None:
+
+        def shard_fn_b(src_local, *rest):
+            return jax.vmap(lambda s: shard_fn(s, *rest))(src_local)
+
+        fn = jax.shard_map(
+            shard_fn_b,
+            mesh=mesh,
+            in_specs=(P(data_axis, axis, None),) + in_specs[1:],
+            out_specs=P(data_axis, axis, None),
+        )
+    else:
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis, None)
+        )
+
+    @jax.jit
+    def apply_fn(src):
+        src = src.astype(f32)
+        batched = src.ndim == 3
+        pad_rows = ts * n - src_h
+        pad_cfg = [(0, pad_rows), (0, 0)]
+        if batched:
+            pad_cfg = [(0, 0)] + pad_cfg
+        src_p = jnp.pad(src, pad_cfg)
+        out = fn(
+            src_p,
+            start_y_d,
+            bid_cols_d,
+            idx_rows_d,
+            sy_rows_d,
+            bid_rows_d,
+            start_x_d,
+            start_x_cols,
+            blocks_d,
+        )
+        return out[..., :dst_h, :]
+
+    return apply_fn, splan
 
 
 def make_mesh(
