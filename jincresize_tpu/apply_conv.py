@@ -147,6 +147,21 @@ def apply_strips(dop: DevicePlaneOperator, src_f, canvas) -> jax.Array:
     return canvas
 
 
+def _strip_cols_patch(src_f, sy_const: int, fs: int, cols_sx, blocks_sel):
+    """Per-pixel strip values for selected columns: (ny, m).
+
+    ``cols_sx`` (m,) are the columns' window starts; ``blocks_sel``
+    (ny, m, fs, fs) their per-pixel blocks (corners + verified exceptions of
+    the Pallas strip kernel, kernels/pallas_strips.py).
+    """
+    W = src_f.shape[1]
+    taps = jnp.arange(fs, dtype=jnp.int32)
+    band = jax.lax.slice(src_f, (sy_const, 0), (sy_const + fs, W))
+    cidx = jnp.clip(cols_sx[:, None] + taps[None, :], 0, W - 1)  # (m, fs)
+    P = band[:, cidx]  # (fs, m, fs)
+    return jnp.einsum("kml,ymkl->ym", P, blocks_sel, preferred_element_type=f32)
+
+
 # ---------------------------------------------------------------------------
 # Full conv apply.
 # ---------------------------------------------------------------------------
@@ -344,6 +359,8 @@ class ConvApplier:
                 base_x,
                 interpret=(backend != "tpu"),
             )
+        if interior == "fused":
+            self._setup_strip_kernel(op, plan, backend)
         # cop is a jit ARGUMENT (not a closure): closure capture would embed
         # the strip blocks as HLO constants — hundreds of MB at 8K.
         self._jit = jax.jit(
@@ -353,6 +370,71 @@ class ConvApplier:
             self._apply_batch,
             static_argnames=("out_dtype", "peak", "float_clamp_min"),
         )
+
+    def _setup_strip_kernel(self, op, plan, backend):
+        """Swap the full-width strips onto the Pallas strip kernel.
+
+        kernels/pallas_strips.py computes the pattern-covered top/bottom
+        strip values from anchor blocks (bitwise-verified); corners and
+        exception columns are patched per-pixel; left/right strips stay on
+        the slicing path. Replaces ~440 MB/frame of per-pixel block reads.
+        """
+        from .apply_strips_fast import apply_strips_fast
+        from .kernels.pallas_strips import make_strips_interior
+
+        r = make_strips_interior(op, plan, interpret=(backend != "tpu"))
+        if r is None:
+            return
+        kfn, patches, meta = r
+        patch_data = []
+        kernel_rects = set()
+        for s, cols in patches:
+            kernel_rects.add((s.y0, s.y1, s.x0, s.x1))
+            if len(cols) == 0:
+                continue
+            patch_data.append(
+                (
+                    s.y0,
+                    s.y1,
+                    int(op.start_y[s.y0]),
+                    jnp.asarray(cols.astype(np.int32)),
+                    jnp.asarray(op.start_x[cols].astype(np.int32)),
+                    jnp.asarray(s.blocks[:, cols - s.x0]),
+                )
+            )
+        rem = tuple(
+            i
+            for i, s in enumerate(op.strips)
+            if (s.y0, s.y1, s.x0, s.x1) not in kernel_rects
+        )
+        plans = self._strip_plans
+        rows_meta = meta["strips"]
+        ny_p, xlo_k, width_k = meta["ny_p"], meta["xlo"], meta["width"]
+        fs = self.fs
+
+        def strips_fn(dop, src_f, canvas):
+            out = kfn(src_f)
+            for si, (y0, y1) in enumerate(rows_meta):
+                vals = jax.lax.slice(
+                    out, (si * ny_p, 0), (si * ny_p + (y1 - y0), width_k)
+                )
+                canvas = jax.lax.dynamic_update_slice(canvas, vals, (y0, xlo_k))
+            for y0, y1, sy_c, cols, cols_sx, blocks_sel in patch_data:
+                pv = _strip_cols_patch(src_f, sy_c, fs, cols_sx, blocks_sel)
+                canvas = canvas.at[y0:y1, cols].set(pv)
+            if rem:
+                if plans is not None:
+                    canvas = apply_strips_fast(dop, plans, src_f, canvas, only=rem)
+                else:
+                    for i in rem:
+                        s = dop.strips[i]
+                        vals = _strip_values(dop, src_f, s)
+                        canvas = jax.lax.dynamic_update_slice(
+                            canvas, vals, (s.y0, s.x0)
+                        )
+            return canvas
+
+        self._strips_fn = strips_fn
 
     def _acc(self, cop, src_f):
         if self._interior_fn is not None:

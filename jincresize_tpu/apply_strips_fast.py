@@ -143,10 +143,16 @@ def _assemble_windows(
     return vec
 
 
-def apply_strips_fast(dop, strip_plans, src_f, canvas):
-    """Accumulate all strips into the canvas with static slicing only."""
+def apply_strips_fast(dop, strip_plans, src_f, canvas, only=None):
+    """Accumulate strips into the canvas with static slicing only.
+
+    ``only`` (tuple of indices into dop.strips) restricts which strips are
+    applied — used when the Pallas strip kernel already covered the rest.
+    """
     fs = dop.filter_size
-    for s, sp in zip(dop.strips, strip_plans):
+    for i, (s, sp) in enumerate(zip(dop.strips, strip_plans)):
+        if only is not None and i not in only:
+            continue
         y0, y1, x0, x1 = sp.rect
         ny, nx = y1 - y0, x1 - x0
         c = sp.const_start

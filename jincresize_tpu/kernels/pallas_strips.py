@@ -1,0 +1,295 @@
+"""Pallas kernel for full-width border strips (top/bottom rows).
+
+The reference builds border pixels from RAW (unquantized) positions with
+clamped windows (JincResize.cpp:431-451), so the operator stores per-pixel
+strip blocks — ~440 MB at 8K, and the einsum strip apply is HBM-bound on
+reading them (~3.5 ms/frame measured, half the whole resample).
+
+Structural fact this kernel exploits: ``start_x`` (and the x position stream)
+is independent of the destination row, so a strip row's blocks repeat with
+the interior's column phase pattern. The kernel verification is EXACT: at
+build time every interior column's block is compared bitwise against its
+phase anchor; columns that deviate (float-drift exceptions, partial trailing
+periods) plus the clamped corner columns are excluded and patched by the
+per-pixel path. When the check holds, the strip apply reads only the
+``fs``-row source bands + ~17*px anchor blocks instead of 440 MB.
+
+One pallas_call computes both strips: grid over column tiles; per tile the
+top/bottom source bands are staged, horizontal taps are packed along K
+(as in pallas_fused), and each strip is a (ny, K) x (K, TNb) banded matmul
+per column phase.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..operator import BorderStrip, PlaneOperator
+from ..phase import PhasePlan
+
+f32 = jnp.float32
+SUB = 8
+LANE = 128
+TNB = int(os.environ.get("JINCRESIZE_STRIPS_TNB", "128"))
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _anchor_blocks(
+    s: BorderStrip, plan_x, fs: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-(row, phase) anchor blocks + exact exception column set.
+
+    Returns (anchors[ny, px, fs, fs], exc_cols absolute) or None when the
+    pattern covers too little of the strip.
+    """
+    lo, hi, px = plan_x.lo, plan_x.hi, plan_x.p
+    B = s.blocks  # (ny, nx, fs, fs)
+    ny = B.shape[0]
+    anchors = np.zeros((ny, px, fs, fs), dtype=np.float32)
+    plan_exc = set(int(v) for v in plan_x.exceptions)
+    exc = []
+    # Pick anchors from the first non-exception occurrence of each phase.
+    for r in range(px):
+        col = None
+        for k in range((hi - lo) // px):
+            c = lo + k * px + r
+            if c not in plan_exc:
+                col = c
+                break
+        if col is None:
+            return None
+        anchors[:, r] = B[:, col - s.x0]
+    # Exact bitwise verification over the pattern-covered interior columns.
+    cols = np.arange(lo, hi)
+    ph = (cols - lo) % px
+    for r in range(px):
+        sel = cols[ph == r]
+        eq = (B[:, sel - s.x0] == anchors[:, r][:, None]).all(axis=(0, 2, 3))
+        exc.extend(int(c) for c in sel[~eq])
+    exc.extend(c for c in plan_exc if lo <= c < hi)
+    if len(exc) > (hi - lo) // 4:
+        return None  # pattern mostly broken: fall back entirely
+    return anchors, np.asarray(sorted(set(exc)), dtype=np.int64)
+
+
+def _strips_kernel(
+    w_ref,  # (n_strips, px, n_d, ny_p, Kp)
+    *refs,
+    ry0s: tuple,
+    col0: tuple,
+    packs: tuple,
+    fs_p: int,
+    px: int,
+    qx: int,
+    tnb: int,
+    ny_p: int,
+    precision,
+):
+    n_strips = len(ry0s)
+    src_refs = refs[:n_strips]
+    out_ref = refs[n_strips]
+    colp_ref = refs[n_strips + 1]
+
+    tno = tnb * px
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
+
+    for si in range(n_strips):
+        blk = src_refs[si][ry0s[si] : ry0s[si] + fs_p, :]
+
+        def seg(c0):
+            return jax.lax.slice(
+                blk, (0, c0), (fs_p, c0 + qx * (tnb - 1) + 1), (1, qx)
+            )
+
+        groups: dict[int, list[int]] = {}
+        for rx in range(px):
+            groups.setdefault(col0[rx], []).append(rx)
+        accs = [jnp.zeros((ny_p, tnb), dtype=f32) for _ in range(px)]
+        for c0, rxs in groups.items():
+            for d, taps in enumerate(packs):
+                if len(taps) == 1:
+                    colp = seg(c0 + taps[0])
+                else:
+                    for t, lx in enumerate(taps):
+                        colp_ref[d, t * fs_p : (t + 1) * fs_p, :] = seg(c0 + lx)
+                    colp = colp_ref[d, : len(taps) * fs_p, :]
+                for rx in rxs:
+                    accs[rx] = accs[rx] + jax.lax.dot_general(
+                        w_ref[si, rx, d][:, : len(taps) * fs_p],
+                        colp,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=f32,
+                    )
+        if px == 1:
+            out = accs[0]
+        else:
+            out = jnp.zeros((ny_p, tno), dtype=f32)
+            for rx in range(px):
+                e = (cols_i == px * rows_i + rx).astype(f32)
+                out = out + jax.lax.dot_general(
+                    accs[rx],
+                    e,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f32,
+                )
+        out_ref[si * ny_p : (si + 1) * ny_p, :] = out
+
+
+def make_strips_interior(
+    op: PlaneOperator,
+    plan: PhasePlan,
+    precision: str = "highest",
+    interpret: bool = False,
+):
+    """Build the top/bottom strip kernel.
+
+    Returns None if no full-width strip qualifies, else
+    ``(fn, patches)`` where ``fn(src_f) -> (n_strips*ny_p, px*nxb)`` computes
+    the pattern-covered strip values in dst layout (paste at column
+    ``plan.x.lo``; strip si rows at ``[si*ny_p, si*ny_p + ny_si)``), and
+    ``patches`` is a list of (strip, exc_cols) whose columns (corners +
+    verified exceptions) the caller must recompute per-pixel.
+    """
+    fs = op.filter_size
+    px, qx = plan.x.p, plan.x.q
+    nxb = plan.x.nblocks
+    offs_x = plan.x.offsets.astype(int)
+    spread_x = int(offs_x.max())
+    base_x = plan.x.base
+    xlo = plan.x.lo
+    src_h = op.src_height
+
+    strips = [
+        s
+        for s in op.strips
+        if s.x0 == 0 and s.x1 == op.dst_width and (s.y1 - s.y0) > 0
+    ]
+    if not strips:
+        return None
+
+    entries = []  # (strip, anchors, exc_cols, const_row)
+    for s in strips:
+        # Constant window row: verified via start_y over the strip rows.
+        sy = op.start_y[s.y0 : s.y1]
+        if not (sy == sy[0]).all():
+            return None
+        r = _anchor_blocks(s, plan.x, fs)
+        if r is None:
+            return None
+        anchors, exc = r
+        entries.append((s, anchors, exc, int(sy[0])))
+
+    n_strips = len(entries)
+    ny_p = _round_up(max(s.y1 - s.y0 for s, *_ in entries), SUB)
+    fs_p = _round_up(fs, SUB)
+    g = max(1, LANE // fs_p)
+    packs = tuple(
+        tuple(range(d * g, min((d + 1) * g, fs))) for d in range(-(-fs // g))
+    )
+    n_d = len(packs)
+    kp = g * fs_p
+    tnb = TNB
+    tno = px * tnb
+    nt = -(-nxb // tnb)
+
+    ax = base_x // LANE * LANE
+    rx0 = base_x - ax
+    wb = _round_up(rx0 + spread_x + (fs - 1) + qx * (tnb - 1) + 1, LANE)
+    ext_x = ax + qx * tnb * (nt - 1) + wb
+
+    # Weights: w[si, rx, d, m, t*fs_p + ly] = anchor[m, rx][ly, lx].
+    w = np.zeros((n_strips, px, n_d, ny_p, kp), dtype=np.float32)
+    for si, (s, anchors, _exc, _cy) in enumerate(entries):
+        ny = s.y1 - s.y0
+        for rx in range(px):
+            for m in range(ny):
+                for d, taps in enumerate(packs):
+                    for t, lx in enumerate(taps):
+                        w[si, rx, d, m, t * fs_p : t * fs_p + fs] = anchors[
+                            m, rx
+                        ][:, lx]
+    w_dev = jnp.asarray(w)
+
+    hb = fs_p + SUB
+    ry0s = []
+    src_specs = []
+    ext_y = 0
+    for s, _a, _e, cy in entries:
+        ay = cy // SUB * SUB
+        ry0s.append(cy - ay)
+        ext_y = max(ext_y, ay + hb)
+        src_specs.append(
+            pl.BlockSpec(
+                (pl.Element(hb), pl.Element(wb)),
+                functools.partial(lambda j, ay=ay: (ay, ax + qx * tnb * j)),
+            )
+        )
+
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    col0 = tuple(rx0 + int(offs_x[rx]) for rx in range(px))
+    kern = functools.partial(
+        _strips_kernel,
+        ry0s=tuple(ry0s),
+        col0=col0,
+        packs=packs,
+        fs_p=fs_p,
+        px=px,
+        qx=qx,
+        tnb=tnb,
+        ny_p=ny_p,
+        precision=prec,
+    )
+    call = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_strips * ny_p, nt * tno), f32),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((n_strips, px, n_d, ny_p, kp), lambda j: (0,) * 5)
+        ]
+        + src_specs,
+        out_specs=pl.BlockSpec((n_strips * ny_p, tno), lambda j: (0, j)),
+        scratch_shapes=[pltpu.VMEM((n_d, kp, tnb), f32)],
+        interpret=interpret,
+    )
+
+    def fn(src_f):
+        H, W_ = src_f.shape
+        pad_h = max(0, ext_y - H)
+        pad_w = max(0, ext_x - W_)
+        if pad_h or pad_w:
+            src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
+        out = call(w_dev, *([src_f] * n_strips))
+        return out[:, : px * nxb]
+
+    patches = []
+    for si, (s, _a, exc, _cy) in enumerate(entries):
+        # Corner columns + verified exceptions -> per-pixel recompute.
+        cols = sorted(
+            set(range(0, xlo))
+            | set(range(xlo + px * nxb, op.dst_width))
+            | set(int(c) for c in exc)
+        )
+        patches.append((s, np.asarray(cols, dtype=np.int64)))
+    meta = {
+        "strips": [(s.y0, s.y1) for s, *_ in entries],
+        "ny_p": ny_p,
+        "xlo": xlo,
+        "width": px * nxb,
+    }
+    return fn, patches, meta

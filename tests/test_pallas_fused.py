@@ -86,3 +86,21 @@ def test_fused_matches_shift_interior(sw, sh, dw, dh, tap):
     ra = np.asarray(a_f(jnp.asarray(src)))
     rb = np.asarray(a_s(jnp.asarray(src)))
     assert np.abs(ra - rb).max() <= 2e-6
+
+
+def test_strip_kernel_engaged_and_correct():
+    """The Pallas strip kernel must engage (not silently fall back) and match."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.apply_conv import ConvApplier
+    from jincresize_tpu.kernels.pallas_strips import make_strips_interior
+    from jincresize_tpu.phase import plan_phases
+
+    op = build_plane_operator(64, 48, 128, 96, radius_for_tap(8))
+    plan = plan_phases(op)
+    assert make_strips_interior(op, plan, interpret=True) is not None
+    ap = ConvApplier(op, interior="fused")
+    src = np.random.default_rng(5).random((48, 64), dtype=np.float32)
+    a = np.asarray(ap(jnp.asarray(src)))
+    b = apply_plane_numpy(op, src, out_dtype=np.float32)
+    assert np.abs(a - b).max() <= 1e-6
