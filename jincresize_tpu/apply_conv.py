@@ -412,16 +412,27 @@ class ConvApplier:
         ny_p, xlo_k, width_k = meta["ny_p"], meta["xlo"], meta["width"]
         fs = self.fs
 
+        patch_by_rows = {(p[0], p[1]): p for p in patch_data}
+        dst_w = op.dst_width
+
         def strips_fn(dop, src_f, canvas):
             out = kfn(src_f)
             for si, (y0, y1) in enumerate(rows_meta):
                 vals = jax.lax.slice(
                     out, (si * ny_p, 0), (si * ny_p + (y1 - y0), width_k)
                 )
-                canvas = jax.lax.dynamic_update_slice(canvas, vals, (y0, xlo_k))
-            for y0, y1, sy_c, cols, cols_sx, blocks_sel in patch_data:
-                pv = _strip_cols_patch(src_f, sy_c, fs, cols_sx, blocks_sel)
-                canvas = canvas.at[y0:y1, cols].set(pv)
+                # Assemble the full-width strip block (kernel values +
+                # per-pixel corner/exception columns) BEFORE touching the
+                # canvas: scattering into the big (batched) canvas lowers to
+                # a full-canvas scatter per op (measured ~40 ms at 8K x8).
+                row_block = jnp.zeros((y1 - y0, dst_w), dtype=f32)
+                row_block = jax.lax.dynamic_update_slice(row_block, vals, (0, xlo_k))
+                p = patch_by_rows.get((y0, y1))
+                if p is not None:
+                    _, _, sy_c, cols, cols_sx, blocks_sel = p
+                    pv = _strip_cols_patch(src_f, sy_c, fs, cols_sx, blocks_sel)
+                    row_block = row_block.at[:, cols].set(pv)
+                canvas = jax.lax.dynamic_update_slice(canvas, row_block, (y0, 0))
             if rem:
                 if plans is not None:
                     canvas = apply_strips_fast(dop, plans, src_f, canvas, only=rem)

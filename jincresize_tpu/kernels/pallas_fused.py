@@ -43,7 +43,9 @@ SUB = 8
 LANE = 128
 TNB = int(os.environ.get("JINCRESIZE_FUSED_TNB", "128"))  # block cols per tile
 _TMB_ENV = os.environ.get("JINCRESIZE_FUSED_TMB")
-_MXU_LATENCY = 100.0  # matmul issue overhead (cycles), for the TMb heuristic
+# Matmul issue overhead (cycles) for the TMb heuristic; calibrated on v5e at
+# 4K->8K tap8 (measured: TMb=24 4.44ms < 48 4.67 < 16 5.08 < 32 5.02).
+_MXU_LATENCY = 40.0
 
 
 def _round_up(v: int, m: int) -> int:
