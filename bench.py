@@ -14,6 +14,7 @@ Usage: python bench.py [--small] [--frames N] [--iters N]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -37,6 +38,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the batched fused-kernel program takes
+    # minutes to compile through the axon tunnel; cache the executable so
+    # repeat bench runs skip straight to execution.
+    os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from jincresize_tpu import apply_xla

@@ -62,7 +62,10 @@ def _plan_axis(
     c = cls_idx[lo:hi]
     s = start[lo:hi]
     best = None
-    for p in range(1, min(max_period, n - 1) + 1):
+    # A usable period must actually repeat: p close to n makes every axis
+    # trivially "periodic" (k//p == 0 almost everywhere) and explodes the
+    # phase count — require at least 3 full repetitions.
+    for p in range(1, min(max_period, n // 3) + 1):
         q = int(s[p] - s[0])
         if q < 0:
             continue
@@ -119,6 +122,12 @@ def plan_phases(op: PlaneOperator, max_period: int = 64) -> PhasePlan | None:
     if py is None:
         return None
     if px.nblocks < 1 or py.nblocks < 1:
+        return None
+    # Cost guard: the unrolled interior does py*px*fs^2 scalar-weight FMAs
+    # worth of HLO; past ~32k ops compile time dwarfs any conv win — the
+    # gather path handles such geometries better.
+    fs = op.filter_size
+    if py.p * px.p * fs * fs > 32768:
         return None
     return PhasePlan(x=px, y=py)
 

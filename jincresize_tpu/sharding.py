@@ -74,9 +74,11 @@ class ShardPlan:
     src_rows_per: int  # padded source rows per device
     halo_up: int  # rows received from the previous device
     halo_dn: int  # rows received from the next device
-    replicate_src: bool  # fallback: support exceeds a neighbor band
+    replicate_src: bool  # fallback: halo hops would cover the whole mesh
     dst_pad: int
     src_pad: int
+    hops_up: int = 1  # ppermute hops needed to collect halo_up
+    hops_dn: int = 1
 
 
 def plan_row_shard(op: PlaneOperator, n_devices: int) -> ShardPlan:
@@ -100,7 +102,13 @@ def plan_row_shard(op: PlaneOperator, n_devices: int) -> ShardPlan:
         halo_dn = max(halo_dn, hi - (d + 1) * ts)
     halo_up = max(halo_up, 0)
     halo_dn = max(halo_dn, 0)
-    replicate = halo_up > ts or halo_dn > ts
+    # Deep downscales need halos spanning several neighbor bands: collect
+    # them with hops_{up,dn} ppermute hops (ROADMAP item 7 — multi-hop halo).
+    # Replicate only when the hop chain would cover the whole mesh anyway,
+    # where one all_gather is cheaper than n-1 ppermutes.
+    hops_up = -(-halo_up // ts) if halo_up else 0
+    hops_dn = -(-halo_dn // ts) if halo_dn else 0
+    replicate = hops_up + hops_dn + 1 >= n_devices
     return ShardPlan(
         n_devices=n_devices,
         dst_rows_per=td,
@@ -110,6 +118,8 @@ def plan_row_shard(op: PlaneOperator, n_devices: int) -> ShardPlan:
         replicate_src=replicate,
         dst_pad=dst_pad,
         src_pad=src_pad,
+        hops_up=hops_up,
+        hops_dn=hops_dn,
     )
 
 
@@ -195,16 +205,20 @@ def make_sharded_apply(
             band = jax.lax.all_gather(src_local, axis, axis=0, tiled=True)
             base = jnp.int32(0)
         else:
-            fwd = [(i, (i + 1) % n) for i in range(n)]
-            bwd = [(i, (i - 1) % n) for i in range(n)]
+            # Multi-hop halo collection: hop i ships a band i devices over;
+            # the farthest hop ships only the remainder rows it contributes.
+            # Wrap-around garbage at the mesh edges is never read: edge
+            # devices' window starts stay inside the real source rows.
             parts = []
-            if hu > 0:
-                upper = jax.lax.ppermute(src_local[-hu:], axis, fwd)
-                parts.append(upper)
+            for i in range(plan.hops_up, 0, -1):
+                perm = [(s, (s + i) % n) for s in range(n)]
+                rows = hu - (i - 1) * ts if i == plan.hops_up else ts
+                parts.append(jax.lax.ppermute(src_local[-rows:], axis, perm))
             parts.append(src_local)
-            if hd > 0:
-                lower = jax.lax.ppermute(src_local[:hd], axis, bwd)
-                parts.append(lower)
+            for i in range(1, plan.hops_dn + 1):
+                perm = [(s, (s - i) % n) for s in range(n)]
+                rows = hd - (i - 1) * ts if i == plan.hops_dn else ts
+                parts.append(jax.lax.ppermute(src_local[:rows], axis, perm))
             band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src_local
             base = d * ts - hu
         rows_local = start_y_local - base
