@@ -12,10 +12,12 @@ block table ``blocks_all[NB, fs, fs]`` (interior dictionary + border strips
 concatenated) plus a per-pixel block-id map, so the kernel has no
 border special cases and every array shards cleanly by destination rows.
 
-Halo sizes are computed on the host from ``start_y``; geometries whose support
-exceeds one neighbor band (deep downscales on small meshes) fall back to a
-fully replicated source (correct, less scalable) — multi-hop halo collection
-is a roadmap item (ROADMAP.md).
+Halo sizes are computed on the host from ``start_y``. Geometries whose support
+exceeds one neighbor band (deep downscales) collect the halo with multi-hop
+``ppermute`` chains (hop *i* ships a band *i* devices over); the source is
+fully replicated via ``all_gather`` only when ``hops_up + hops_dn + 1 >=
+n_devices``, where the hop chain would touch the whole mesh anyway and a
+single collective is cheaper.
 """
 
 from __future__ import annotations
@@ -77,8 +79,10 @@ class ShardPlan:
     replicate_src: bool  # fallback: halo hops would cover the whole mesh
     dst_pad: int
     src_pad: int
-    hops_up: int = 1  # ppermute hops needed to collect halo_up
-    hops_dn: int = 1
+    # ppermute hops needed to collect each halo; must stay consistent with
+    # halo_up/halo_dn (0 when the halo is 0), so no defaults are provided.
+    hops_up: int
+    hops_dn: int
 
 
 def plan_row_shard(op: PlaneOperator, n_devices: int) -> ShardPlan:

@@ -44,14 +44,32 @@ def test_row_shard_parity_upscale(mesh8):
     assert np.abs(out - ref).max() <= 1e-6
 
 
-def test_row_shard_parity_downscale_fallback(mesh8):
-    # Deep downscale: support exceeds neighbor band -> replicated-src fallback.
+def test_row_shard_parity_downscale_multihop(mesh8):
+    # Deep downscale: support exceeds one neighbor band -> multi-hop halo.
     from jincresize_tpu.sharding import make_sharded_apply
 
     op = build_plane_operator(128, 128, 24, 24, radius_for_tap(4))
     fn, plan = make_sharded_apply(op, mesh8)
+    assert not plan.replicate_src
+    assert max(plan.hops_up, plan.hops_dn) >= 2  # genuinely multi-hop
     rng = np.random.default_rng(1)
     src = rng.random((128, 128), dtype=np.float32)
+    out = np.asarray(fn(src))
+    ref = apply_plane_numpy(op, src)
+    assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_row_shard_parity_replicated_fallback(mesh8):
+    # Extreme downscale: hop chain would span the mesh -> all_gather fallback.
+    from jincresize_tpu.sharding import make_sharded_apply, plan_row_shard
+
+    op = build_plane_operator(256, 256, 16, 16, radius_for_tap(4))
+    plan = plan_row_shard(op, 8)
+    assert plan.replicate_src
+    fn, plan2 = make_sharded_apply(op, mesh8)
+    assert plan2.replicate_src
+    rng = np.random.default_rng(5)
+    src = rng.random((256, 256), dtype=np.float32)
     out = np.asarray(fn(src))
     ref = apply_plane_numpy(op, src)
     assert np.abs(out - ref).max() <= 1e-6
