@@ -52,8 +52,16 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _choose_tmb(fs: int, py: int, qy: int, spread_y: int, nyb: int) -> int:
-    """Pick blocks-per-tile: minimize dots x (1 + latency/M) per output."""
+def _choose_tmb(
+    fs: int, py: int, qy: int, spread_y: int, nyb: int, px: int, fs_x: int
+) -> int:
+    """Pick blocks-per-tile: minimize MXU passes per output pixel.
+
+    Each pack is one dot with M = px*py*tmb (phases M-concatenated); Mosaic
+    splits M into ceil(M/128) chunks, each a full pass set, so the cost per
+    output is n_d * mchunks / M, with a fixed per-dot issue latency amortized
+    over the tile (calibrated on v5e at 4K->8K tap8).
+    """
     if _TMB_ENV:
         return int(_TMB_ENV)
     best, best_score = 8, float("inf")
@@ -67,97 +75,139 @@ def _choose_tmb(fs: int, py: int, qy: int, spread_y: int, nyb: int) -> int:
                 best = tmb  # geometry too tall for K=128: take smallest
             break
         g = max(1, LANE // hbu_p)
-        n_d = -(-fs // g)
-        tmo = py * tmb
-        score = n_d * (tmo + _MXU_LATENCY) / tmo
+        n_d = -(-fs_x // g)
+        m = px * py * tmb
+        mchunks = -(-m // LANE)
+        score = n_d * (mchunks * LANE + _MXU_LATENCY) / m
         if score < best_score:
             best, best_score = tmb, score
     return best
 
 
 def _fused_kernel(
-    w_ref,  # (px, n_d, TMo, Kp)
-    src_ref,  # (Hb, Wb) window
-    out_ref,  # (TMo, TNo) dst-layout tile
+    w_ref,  # (n_d, px*TMo, Kp) — phases concatenated along M
+    src_ref,  # (Hb, Wband) full-width source row band
+    out_ref,  # (TMo, nt*TNo) full-width destination row band
     colp_ref,  # (n_d, Kp, TNb) VMEM scratch for packed column segments
     #            (one region per dot so consecutive stage->dot chains don't
     #            serialize on a single buffer)
     *,
     ry0: int,
-    col0: tuple,  # per-rx static base column offset (rx0 + ox[rx]-min_ox)
-    packs: tuple,  # ((lx, ...), ...) taps per dot
+    base_c0: int,  # shared base column offset (min over phases)
+    packs: tuple,  # ((lx', ...), ...) extended-range taps per dot
     hbu_p: int,
     px: int,
     qx: int,
     tnb: int,
+    nt: int,  # column tiles per band (unrolled inner loop)
     precision,
     interleave: str,
 ):
-    blk = src_ref[ry0 : ry0 + hbu_p, :]
+    """One grid step computes a full-width band of TMo destination rows.
 
-    def seg(c0):
-        return jax.lax.slice(
-            blk, (0, c0), (hbu_p, c0 + qx * (tnb - 1) + 1), (1, qx)
-        )
+    The grid is 1-D over row bands so the (overlapping, element-offset)
+    source DMA happens once per band, not once per column tile: 2-D grids of
+    element-offset windows defeat the Pallas pipeline (measured ~0.9us per
+    window DMA vs 0.14us per aligned block step on v5e) and made the window
+    fetch — not compute — the kernel bottleneck.
+    """
+    tmo = w_ref.shape[1] // px
+    tno = tnb * px
+    if px > 1 and interleave != "store":
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
+        es = [(cols == px * rows + rx).astype(f32) for rx in range(px)]
 
-    # Column phases sharing a base offset (offs_x equal — always true for
-    # integer upscales) share their packed operands: build each colp once.
-    groups: dict[int, list[int]] = {}
-    for rx in range(px):
-        groups.setdefault(col0[rx], []).append(rx)
+    for j in range(nt):
+        cj = base_c0 + qx * tnb * j
 
-    tmo = w_ref.shape[2]
-    accs = [jnp.zeros((tmo, tnb), dtype=f32) for _ in range(px)]
-    for c0, rxs in groups.items():
+        if qx == 1:
+            blk = src_ref[0, ry0 : ry0 + hbu_p, :]
+
+            def seg(c0):
+                return jax.lax.slice(blk, (0, c0), (hbu_p, c0 + tnb), (1, 1))
+
+        else:
+            # Lane-strided slices are not lowerable by Mosaic; the source
+            # band arrives pre-deinterleaved into qx residue planes
+            # (src_ref[r, y, k] = src[y, r + qx*k]), so the strided window
+            # for column c is a contiguous slice of plane c % qx.
+            def seg(c0):
+                r, base = c0 % qx, c0 // qx
+                return src_ref[r, ry0 : ry0 + hbu_p, base : base + tnb]
+
+        # All column phases share one packed operand set: taps are enumerated
+        # over the extended range [0, fs + spread_c) so each phase's window
+        # is a shifted sub-range — its weights are zero outside (built that
+        # way on host), and the staged segments are built exactly once. The
+        # phases are additionally concatenated along M (w is (n_d, px*TMo,
+        # Kp)) so each staged operand feeds ONE dot: MXU pass cost scales
+        # with dot count, not MACs, and px*TMo <= 128 keeps it one M-chunk.
+        acc_cat = jnp.zeros((px * tmo, tnb), dtype=f32)
         colps = []
         for d, taps in enumerate(packs):
             if len(taps) == 1:
-                colps.append(seg(c0 + taps[0]))
+                colps.append(seg(cj + taps[0]))
             else:
                 # Sublane-concat via scratch: the shifted slices carry
                 # different lane offsets, which tpu.concatenate rejects;
                 # stores normalize the layout.
                 for t, lx in enumerate(taps):
-                    colp_ref[d, t * hbu_p : (t + 1) * hbu_p, :] = seg(c0 + lx)
+                    colp_ref[d, t * hbu_p : (t + 1) * hbu_p, :] = seg(cj + lx)
                 colps.append(colp_ref[d, : len(taps) * hbu_p, :])
         for d, taps in enumerate(packs):
-            colp = colps[d]
-            for rx in rxs:
-                accs[rx] = accs[rx] + jax.lax.dot_general(
-                    w_ref[rx, d][:, : len(taps) * hbu_p],
-                    colp,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=f32,
-                )
-    if px == 1:
-        out_ref[:] = accs[0]
-    elif interleave == "store":
-        # Lane-strided stores: no extra FLOPs, but unsupported by current
-        # Mosaic ("last dim size is not 128 in original base memref") —
-        # experimental, enable via JINCRESIZE_FUSED_INTERLEAVE=store.
-        for rx in range(px):
-            out_ref[:, pl.Slice(rx, tnb, px)] = accs[rx]
-    else:
-        # Column-phase interleave on the MXU: acc_rx @ E_rx with E_rx the 0/1
-        # scatter (TNb, TNo), E[j, px*j+rx] = 1 — a fallback for Mosaic
-        # versions without lane-strided stores.
-        tno = tnb * px
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
-        out = jnp.zeros((accs[0].shape[0], tno), dtype=f32)
-        for rx in range(px):
-            e = (cols == px * rows + rx).astype(f32)
-            # HIGHEST keeps the interleave exact (Mosaic lowers only
-            # DEFAULT/HIGHEST; DEFAULT would truncate acc to bf16).
-            out = out + jax.lax.dot_general(
-                accs[rx],
-                e,
+            acc_cat = acc_cat + jax.lax.dot_general(
+                w_ref[d][:, : len(taps) * hbu_p],
+                colps[d],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
                 preferred_element_type=f32,
             )
-        out_ref[:] = out
+        accs = [acc_cat[rx * tmo : (rx + 1) * tmo] for rx in range(px)]
+        if px == 1:
+            out_ref[:, j * tno : (j + 1) * tno] = accs[0]
+        elif interleave == "store":
+            # Lane-strided stores: no extra FLOPs, but unsupported by current
+            # Mosaic ("last dim size is not 128 in original base memref") —
+            # experimental, enable via JINCRESIZE_FUSED_INTERLEAVE=store.
+            for rx in range(px):
+                out_ref[:, pl.Slice(j * tno + rx, tnb, px)] = accs[rx]
+        else:
+            # Column-phase interleave on the MXU: acc_rx @ E_rx with E_rx the
+            # 0/1 scatter (TNb, TNo), E[j, px*j+rx] = 1. E selects exactly one
+            # acc element per output lane, so there is no accumulation — each
+            # product is exact as long as the acc operand is bf16-exact.
+            out = jnp.zeros((tmo, tno), dtype=f32)
+            for rx in range(px):
+                if interleave == "split3":
+                    # Exact 3-pass scatter: split acc into three bf16-exact
+                    # components (hi+mid+lo == acc in f32, each summand
+                    # exactly representable, sums exact by non-overlapping
+                    # significands); each DEFAULT (1-pass) dot is exact
+                    # against a 0/1 matrix. 3 passes total vs HIGHEST's 6.
+                    a = accs[rx]
+                    hi = a.astype(jnp.bfloat16).astype(f32)
+                    r1 = a - hi
+                    mid = r1.astype(jnp.bfloat16).astype(f32)
+                    lo = r1 - mid
+                    for part in (hi, mid, lo):
+                        out = out + jax.lax.dot_general(
+                            part,
+                            es[rx],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=f32,
+                        )
+                else:
+                    # HIGHEST keeps the interleave exact in one dot (6-pass).
+                    out = out + jax.lax.dot_general(
+                        accs[rx],
+                        es[rx],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32,
+                    )
+            out_ref[:, j * tno : (j + 1) * tno] = out
 
 
 def make_fused_interior(
@@ -183,48 +233,58 @@ def make_fused_interior(
     base_x = plan.x.base
 
     tnb = TNB
-    tmb = _choose_tmb(fs, py, qy, spread_y, nyb)
+    # Extended horizontal tap range: all column phases share one staged
+    # operand set over [0, fs + spread_x); phase rx's taps occupy the
+    # sub-range [offs_x[rx] - min, +fs) and its weights are zero elsewhere.
+    fs_x = fs + spread_x
+    tmb = _choose_tmb(fs, py, qy, spread_y, nyb, px, fs_x)
     tmo = py * tmb
     tno = px * tnb
     hbu = qy * (tmb - 1) + spread_y + fs
     hbu_p = _round_up(hbu, SUB)
     g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
     packs = tuple(
-        tuple(range(d * g, min((d + 1) * g, fs))) for d in range(-(-fs // g))
+        tuple(range(d * g, min((d + 1) * g, fs_x))) for d in range(-(-fs_x // g))
     )
     n_d = len(packs)
     kp = g * hbu_p
 
-    # Window placement: align starts down to the register tile; the grid step
-    # preserves the residual because qy*tmb % SUB == 0 and qx*tnb % LANE == 0
-    # (tmb multiple of 8, tnb multiple of 128).
+    # Band placement: align the row start down to the register tile; the grid
+    # step preserves the residual because qy*tmb % SUB == 0 (tmb multiple of
+    # 8). Columns are not tiled in the grid — each band is full-width.
     ay = (base_y + 0) // SUB * SUB  # min offset is 0 by construction
-    ax = base_x // LANE * LANE
     ry0 = base_y - ay
-    rx0 = base_x - ax
     hb = _round_up(ry0 + hbu_p, SUB)
-    wb = _round_up(rx0 + spread_x + (fs - 1) + qx * (tnb - 1) + 1, LANE)
 
     mt = -(-nyb // tmb)
     nt = -(-nxb // tnb)
     ext_y = ay + qy * tmb * (mt - 1) + hb
-    ext_x = ax + qx * tnb * (nt - 1) + wb
+    ext_x = _round_up(
+        base_x + spread_x + (fs - 1) + qx * (tnb * nt - 1) + 1, LANE
+    )
 
-    # Band weights: w[rx, d, m, t*hbu_p + (oy[ry] + qy*i + ly)] = W[ry,rx][ly, lx]
-    # for tile row m = py*i + ry and pack slot t (tap lx = packs[d][t]).
+    # Band weights: w[d, rx*tmo + m, t*hbu_p + (oy[ry] + qy*i + ly)] =
+    # W[ry,rx][ly, lx] for tile row m = py*i + ry and pack slot t holding
+    # extended tap lx' = packs[d][t] (phase tap lx = lx' - offs_x[rx]; zero
+    # out of range). Phases concatenated along M feed one dot per pack.
     cy = plan.y.anchor_cls
     cx = plan.x.anchor_cls
-    w = np.zeros((px, n_d, tmo, kp), dtype=np.float32)
+    w = np.zeros((n_d, px * tmo, kp), dtype=np.float32)
     for rx in range(px):
+        dcol = int(offs_x[rx])
         for m in range(tmo):
             i, ry = divmod(m, py)
             blk = op.pair_blocks[cy[ry], cx[rx]]  # (fs, fs) [ly, lx]
             row0 = offs_y[ry] + qy * i
             for d, taps in enumerate(packs):
-                for t, lx in enumerate(taps):
-                    w[rx, d, m, t * hbu_p + row0 : t * hbu_p + row0 + fs] = blk[
-                        :, lx
-                    ]
+                for t, lxp in enumerate(taps):
+                    lx = lxp - dcol
+                    if 0 <= lx < fs:
+                        w[
+                            d,
+                            rx * tmo + m,
+                            t * hbu_p + row0 : t * hbu_p + row0 + fs,
+                        ] = blk[:, lx]
     w_dev = jnp.asarray(w)
 
     # Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass) dots.
@@ -232,32 +292,35 @@ def make_fused_interior(
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
-    col0 = tuple(rx0 + int(offs_x[rx]) for rx in range(px))
     kern = functools.partial(
         _fused_kernel,
         ry0=ry0,
-        col0=col0,
+        base_c0=base_x,
         packs=packs,
         hbu_p=hbu_p,
         px=px,
         qx=qx,
         tnb=tnb,
+        nt=nt,
         precision=prec,
         interleave=interleave
-        or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "dot"),
+        or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "split3"),
     )
+    # Source is shipped as qx residue planes (deinterleaved by XLA outside
+    # the kernel) so in-kernel window slices are always lane-contiguous.
+    wq = _round_up(-(-ext_x // qx), LANE)
     call = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((mt * tmo, nt * tno), f32),
-        grid=(mt, nt),
+        grid=(mt,),
         in_specs=[
-            pl.BlockSpec((px, n_d, tmo, kp), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((n_d, px * tmo, kp), lambda i: (0, 0, 0)),
             pl.BlockSpec(
-                (pl.Element(hb), pl.Element(wb)),
-                lambda i, j: (ay + qy * tmb * i, ax + qx * tnb * j),
+                (pl.Element(qx), pl.Element(hb), pl.Element(wq)),
+                lambda i: (0, ay + qy * tmb * i, 0),
             ),
         ],
-        out_specs=pl.BlockSpec((tmo, tno), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tmo, nt * tno), lambda i: (i, 0)),
         scratch_shapes=[pltpu.VMEM((n_d, kp, tnb), f32)],
         interpret=interpret,
     )
@@ -265,10 +328,11 @@ def make_fused_interior(
     def fn(src_f):
         H, W_ = src_f.shape
         pad_h = max(0, ext_y - H)
-        pad_w = max(0, ext_x - W_)
+        pad_w = max(0, qx * wq - W_)
         if pad_h or pad_w:
             src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
-        out = call(w_dev, src_f)
+        planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
+        out = call(w_dev, planes)
         return out[: py * nyb, : px * nxb]
 
     fn.tile_info = {  # introspection for tests/bench
@@ -292,6 +356,23 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
         return False
     qy = plan.y.q
     spread_y = int(plan.y.offsets.max())
+    spread_x = int(plan.x.offsets.max())
     # smallest tile must fit a K window
     hbu_min = _round_up(qy * 7 + spread_y + fs, SUB)
-    return hbu_min <= 4 * LANE
+    if hbu_min > 4 * LANE:
+        return False
+    # Full-width row bands must fit VMEM (~16MB/core, double-buffered):
+    # src band + dst band + weights + staging scratch, with the largest
+    # plausible tile (tmb<=32 rows of blocks).
+    fs_x = fs + spread_x
+    tmb = _choose_tmb(fs, py, qy, spread_y, plan.y.nblocks, px, fs_x)
+    hbu_p = _round_up(qy * (tmb - 1) + spread_y + fs, SUB)
+    hb = _round_up(SUB + hbu_p, SUB)
+    g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
+    n_d = -(-fs_x // g)
+    kp = g * hbu_p
+    band = hb * (op.src_width + 2 * LANE) * 4
+    outb = py * tmb * (op.dst_width + px * TNB) * 4
+    wb = n_d * px * py * tmb * kp * 4
+    scratch = n_d * kp * TNB * 4
+    return 2 * (band + outb) + wb + scratch <= 12 * 1024 * 1024
