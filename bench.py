@@ -30,7 +30,10 @@ def main():
     # Frames are batched per dispatch (vmap SpMM — BASELINE.json config #4's
     # frame batching): the axon tunnel costs ~23 ms per dispatch that does
     # not pipeline, so single-frame dispatch measures the tunnel, not the TPU.
-    ap.add_argument("--frames", type=int, default=8)
+    # 32 frames/dispatch amortizes the tunnel's ~18 ms non-pipelined
+    # per-dispatch cost (device-only time is ~3.0 ms/frame, measured with an
+    # on-device fori_loop); 64 frames exceeds HBM (in+out+canvas ~ 16 GB).
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
         "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]

@@ -143,13 +143,15 @@ def _assemble_windows(
     return vec
 
 
-def apply_strips_fast(dop, strip_plans, src_f, canvas, only=None):
-    """Accumulate strips into the canvas with static slicing only.
+def strip_values_fast(dop, strip_plans, src_f, only=None):
+    """Compute strip value blocks with static slicing only.
 
-    ``only`` (tuple of indices into dop.strips) restricts which strips are
-    applied — used when the Pallas strip kernel already covered the rest.
+    Returns [(index, (y0, y1, x0, x1), values)]; ``only`` (tuple of indices
+    into dop.strips) restricts which strips are computed — used when the
+    Pallas strip kernel already covered the rest.
     """
     fs = dop.filter_size
+    out = []
     for i, (s, sp) in enumerate(zip(dop.strips, strip_plans)):
         if only is not None and i not in only:
             continue
@@ -175,5 +177,14 @@ def apply_strips_fast(dop, strip_plans, src_f, canvas, only=None):
             acc = jnp.einsum(
                 "lyk,yxkl->yx", vec, s.blocks, preferred_element_type=f32
             )
+        out.append((i, sp.rect, acc))
+    return out
+
+
+def apply_strips_fast(dop, strip_plans, src_f, canvas, only=None):
+    """Accumulate strips into the canvas with static slicing only."""
+    for _, (y0, y1, x0, x1), acc in strip_values_fast(
+        dop, strip_plans, src_f, only
+    ):
         canvas = jax.lax.dynamic_update_slice(canvas, acc, (y0, x0))
     return canvas
