@@ -61,6 +61,10 @@ class JincConfig:
     # sources at -0.5 (chroma/alpha) / 0.0 (luma/RGB) while the C kernel does
     # not. None reproduces the reference dispatch: clamp unless opt == 0.
     float_clamp: bool | None = None
+    # MXU precision for the fused interior (conv path only): 'fp32' is the
+    # bit-parity default (6-pass dots); 'bf16' is a documented non-parity
+    # fast mode (1-pass dots, ~1e-3 relative interior error, ~1.7x faster).
+    precision: str = "fp32"
 
 
 def _resolve_cplace(cfg: JincConfig, fmt: VideoFormat, frame0: Frame | None) -> str:
@@ -110,6 +114,8 @@ def _validate(cfg: JincConfig) -> None:
         raise JincError("JincResize: initial_capacity must be greater than 0.")
     if cfg.impl not in ("auto", "conv", "xla", "pallas", "numpy"):
         raise JincError(f"JincResize: unknown impl {cfg.impl!r}.")
+    if cfg.precision not in ("fp32", "bf16"):
+        raise JincError(f"JincResize: unknown precision {cfg.precision!r}.")
 
 
 class JincResizer:
@@ -215,7 +221,7 @@ class JincResizer:
 
             def _try_applier(op):
                 try:
-                    return ConvApplier(op)
+                    return ConvApplier(op, precision=cfg.precision)
                 except ValueError:
                     return None
 
