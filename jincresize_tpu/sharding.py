@@ -381,6 +381,38 @@ def make_sharded_apply_conv(
     seg_h = qy * (nyb_l - 1) + spread_y + fs
     ew_req = base_x + (nxb - 1) * qx + Kw  # columns the interior reads
 
+    # Local interior engine: the fused Pallas kernel (kernels/pallas_fused)
+    # on a shifted local plan — seg is dynamic-sliced so block 0's window
+    # starts at row 0, making the kernel's placement static. Falls back to
+    # the XLA shift-sum for unsupported geometries / non-TPU meshes run
+    # the kernel in interpret mode.
+    ifn_local = None
+    try:
+        from .kernels import pallas_fused
+        from .phase import AxisPhasePlan, PhasePlan
+
+        y = pplan.y
+        y_local = AxisPhasePlan(
+            lo=0,
+            hi=py * nyb_l,
+            p=y.p,
+            q=y.q,
+            anchor_start=y.anchor_start - y.base,
+            anchor_cls=y.anchor_cls,
+            exceptions=np.zeros(0, dtype=np.int64),
+            nblocks=nyb_l,
+        )
+        plan_local = PhasePlan(x=pplan.x, y=y_local)
+        if pallas_fused.is_supported(op, plan_local):
+            backend_tpu = all(
+                d.platform == "tpu" for d in np.asarray(mesh.devices).flat
+            )
+            ifn_local = pallas_fused.make_fused_interior(
+                op, plan_local, interpret=not backend_tpu
+            )
+    except Exception:  # pragma: no cover — defensive: shift-sum still works
+        ifn_local = None
+
     blocks_all, bid = build_uniform(op)
 
     # Patch rows per device: strips + y-exceptions owned by each device.
@@ -455,9 +487,12 @@ def make_sharded_apply_conv(
         seg = jax.lax.dynamic_slice(
             band_p, (seg_off, 0), (seg_h, band.shape[1] + pad_w)
         )
-        block = _shift_interior(
-            seg, K_np, py, px, qy, qx, nyb_l, nxb, base_x, fs, offs_y, offs_x
-        )
+        if ifn_local is not None:
+            block = ifn_local(seg)
+        else:
+            block = _shift_interior(
+                seg, K_np, py, px, qy, qx, nyb_l, nxb, base_x, fs, offs_y, offs_x
+            )
 
         canvas = jnp.zeros((ext_h, dst_w), dtype=f32)
         paste_o = ylo + py * bi0 - d * td + py
@@ -511,15 +546,22 @@ def make_sharded_apply_conv(
         def shard_fn_b(src_local, *rest):
             return jax.vmap(lambda s: shard_fn(s, *rest))(src_local)
 
+        # check_vma=False: the fused interior's pallas_call out_shape carries
+        # no varying-mesh-axes annotation (it's built outside the shard_map).
         fn = jax.shard_map(
             shard_fn_b,
             mesh=mesh,
             in_specs=(P(data_axis, axis, None),) + in_specs[1:],
             out_specs=P(data_axis, axis, None),
+            check_vma=False,
         )
     else:
         fn = jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis, None)
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(axis, None),
+            check_vma=False,
         )
 
     @jax.jit
