@@ -219,9 +219,15 @@ class JincResizer:
         if self._impl in ("auto", "conv"):
             from .apply_conv import ConvApplier
 
+            # u8 planes are bf16-exact, so the weight-split 3-pass kernel is
+            # exact within the parity bound at half the MXU cost of HIGHEST.
+            prec = cfg.precision
+            if prec == "fp32" and fmt.bits == 8:
+                prec = "fp32_u8src"
+
             def _try_applier(op):
                 try:
-                    return ConvApplier(op, precision=cfg.precision)
+                    return ConvApplier(op, precision=prec)
                 except ValueError:
                     return None
 

@@ -303,7 +303,11 @@ class ConvApplier:
     ):
         from .phase import build_conv_kernels, plan_phases
 
-        if precision not in ("fp32", "bf16"):
+        # 'fp32_u8src': exact-for-u8 fast mode — sources known bf16-exact
+        # (u8 planes), weights host-split into 3 bf16 components, 3 DEFAULT
+        # passes instead of HIGHEST's 6 (error ~2^-24 relative, well under
+        # the 1-LSB parity bound).
+        if precision not in ("fp32", "bf16", "fp32_u8src"):
             raise ValueError(f"ConvApplier: unknown precision {precision!r}")
         self.precision = precision
 
@@ -342,13 +346,17 @@ class ConvApplier:
 
             # bf16: 1-pass MXU dots (~1.7x interior speedup on v5e),
             # documented non-parity mode (~1e-3 relative error on fp32
-            # sources); fp32: 6-pass HIGHEST, bit-parity default.
+            # sources); fp32: 6-pass HIGHEST, bit-parity default;
+            # fp32_u8src: 3-pass weight-split, exact for bf16-exact sources.
+            kernel_prec = {
+                "bf16": "default",
+                "fp32_u8src": "wsplit3",
+                "fp32": os.environ.get("JINCRESIZE_FUSED_PRECISION", "highest"),
+            }[precision]
             self._interior_fn = make_fused_interior(
                 op,
                 plan,
-                precision="default"
-                if precision == "bf16"
-                else os.environ.get("JINCRESIZE_FUSED_PRECISION", "highest"),
+                precision=kernel_prec,
                 interpret=(backend != "tpu"),
             )
             self._interior_layout = "dst"

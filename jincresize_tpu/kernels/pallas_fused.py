@@ -111,7 +111,8 @@ def _fused_kernel(
     window DMA vs 0.14us per aligned block step on v5e) and made the window
     fetch — not compute — the kernel bottleneck.
     """
-    tmo = w_ref.shape[1] // px
+    wparts = w_ref.shape[0] if w_ref.ndim == 4 else 1
+    tmo = (w_ref.shape[2] if w_ref.ndim == 4 else w_ref.shape[1]) // px
     tno = tnb * px
     if px > 1 and interleave != "store":
         rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
@@ -156,13 +157,26 @@ def _fused_kernel(
                     colp_ref[d, t * hbu_p : (t + 1) * hbu_p, :] = seg(cj + lx)
                 colps.append(colp_ref[d, : len(taps) * hbu_p, :])
         for d, taps in enumerate(packs):
-            acc_cat = acc_cat + jax.lax.dot_general(
-                w_ref[d][:, : len(taps) * hbu_p],
-                colps[d],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=f32,
-            )
+            if wparts == 1:
+                acc_cat = acc_cat + jax.lax.dot_general(
+                    w_ref[d][:, : len(taps) * hbu_p],
+                    colps[d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=f32,
+                )
+            else:
+                # wsplit3 (bf16-exact sources, e.g. u8 planes): weights are
+                # pre-split on host into 3 bf16-exact components, each dot
+                # DEFAULT (1-pass) — exact products, 3 passes vs HIGHEST's 6.
+                for part in range(wparts):
+                    acc_cat = acc_cat + jax.lax.dot_general(
+                        w_ref[part, d][:, : len(taps) * hbu_p],
+                        colps[d],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=f32,
+                    )
         accs = [acc_cat[rx * tmo : (rx + 1) * tmo] for rx in range(px)]
         if px == 1:
             out_ref[:, j * tno : (j + 1) * tno] = accs[0]
@@ -285,13 +299,26 @@ def make_fused_interior(
                             rx * tmo + m,
                             t * hbu_p + row0 : t * hbu_p + row0 + fs,
                         ] = blk[:, lx]
-    w_dev = jnp.asarray(w)
-
     # Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass) dots.
-    prec = {
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[precision]
+    # 'wsplit3' pre-splits the weights into 3 bf16-exact components on host
+    # (w == w0+w1+w2 exactly: 3x8 significand bits cover f32's 24) and runs
+    # 3 DEFAULT dots per pack — exact whenever the SOURCE values are
+    # bf16-representable (u8 planes widened to f32), at half HIGHEST's cost.
+    if precision == "wsplit3":
+        import ml_dtypes
+
+        c0 = w.astype(ml_dtypes.bfloat16).astype(np.float32)
+        r1 = w - c0
+        c1 = r1.astype(ml_dtypes.bfloat16).astype(np.float32)
+        c2 = r1 - c1
+        w = np.stack([c0, c1, c2], axis=0)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+    w_dev = jnp.asarray(w)
     kern = functools.partial(
         _fused_kernel,
         ry0=ry0,
@@ -314,7 +341,11 @@ def make_fused_interior(
         out_shape=jax.ShapeDtypeStruct((mt * tmo, nt * tno), f32),
         grid=(mt,),
         in_specs=[
-            pl.BlockSpec((n_d, px * tmo, kp), lambda i: (0, 0, 0)),
+            pl.BlockSpec(
+                (3, n_d, px * tmo, kp), lambda i: (0, 0, 0, 0)
+            )
+            if precision == "wsplit3"
+            else pl.BlockSpec((n_d, px * tmo, kp), lambda i: (0, 0, 0)),
             pl.BlockSpec(
                 (pl.Element(qx), pl.Element(hb), pl.Element(wq)),
                 lambda i: (0, ay + qy * tmb * i, 0),
