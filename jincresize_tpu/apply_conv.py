@@ -330,12 +330,13 @@ class ConvApplier:
         n_phases = len(self.cop.phase_offsets)
         if interior == "auto":
             from .kernels import pallas_fused
-            from .kernels.pallas_phase import is_supported
 
+            # auto = fused else shift. The per-phase kernel (pallas_phase)
+            # stays available explicitly but is excluded from auto: it
+            # carries lane-strided slices that Mosaic cannot lower for
+            # qx>1 geometries, and the fused kernel dominates it anyway.
             if backend == "tpu" and pallas_fused.is_supported(op, plan):
                 interior = "fused"
-            elif backend == "tpu" and is_supported(self.fs, n_phases):
-                interior = "pallas"
             else:
                 interior = "shift"
         self.interior = interior

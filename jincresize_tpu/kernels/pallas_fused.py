@@ -383,6 +383,11 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
     py, px = plan.y.p, plan.x.p
     if px > 8 or py > 64:
         return False
+    # Large phase products crash the Mosaic compiler (observed at
+    # py*px=168, v5e) and unroll the kernel body excessively; the XLA
+    # shift-sum handles such geometries.
+    if py * px > 32:
+        return False
     if fs * fs > 1200:
         return False
     qy = plan.y.q

@@ -86,7 +86,7 @@ def _strips_kernel(
     w_ref,  # (n_strips, px, n_d, ny_p, Kp)
     *refs,
     ry0s: tuple,
-    col0: tuple,
+    col0: tuple,  # per-rx ABSOLUTE base column (base_x + offs_x[rx])
     packs: tuple,
     fs_p: int,
     px: int,
@@ -96,7 +96,7 @@ def _strips_kernel(
     precision,
 ):
     n_strips = len(ry0s)
-    src_refs = refs[:n_strips]
+    src_refs = refs[:n_strips]  # each (qx, hb, wq) residue planes
     out_ref = refs[n_strips]
     colp_ref = refs[n_strips + 1]
 
@@ -105,12 +105,16 @@ def _strips_kernel(
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
 
     for si in range(n_strips):
-        blk = src_refs[si][ry0s[si] : ry0s[si] + fs_p, :]
+        sref = src_refs[si]
+        ry0 = ry0s[si]
 
         def seg(c0):
-            return jax.lax.slice(
-                blk, (0, c0), (fs_p, c0 + qx * (tnb - 1) + 1), (1, qx)
-            )
+            # Column c0 + qx*tnb*j + qx*k, k<tnb: residue plane c0 % qx;
+            # the per-tile shift tnb*j is in the window's Element offset, so
+            # the in-window slice start c0//qx is static (dynamic lane-start
+            # slices crash this Mosaic version).
+            r, base = c0 % qx, c0 // qx
+            return sref[r, ry0 : ry0 + fs_p, base : base + tnb]
 
         groups: dict[int, list[int]] = {}
         for rx in range(px):
@@ -205,10 +209,14 @@ def make_strips_interior(
     tno = px * tnb
     nt = -(-nxb // tnb)
 
-    ax = base_x // LANE * LANE
-    rx0 = base_x - ax
-    wb = _round_up(rx0 + spread_x + (fs - 1) + qx * (tnb - 1) + 1, LANE)
-    ext_x = ax + qx * tnb * (nt - 1) + wb
+    # Sources arrive as qx residue planes (deinterleaved in XLA) so the
+    # in-kernel strided column windows are lane-contiguous slices — Mosaic
+    # cannot lower lane-strided slices (same fix as pallas_fused). Each tile
+    # j reads window columns [tnb*j, tnb*j + wq_t) of the residue planes;
+    # the per-tap offsets inside the window are static.
+    off_max = (base_x + spread_x + fs - 1) // qx
+    wq_t = _round_up(off_max + tnb, LANE)
+    wq = tnb * (nt - 1) + wq_t
 
     # Weights: w[si, rx, d, m, t*fs_p + ly] = anchor[m, rx][ly, lx].
     w = np.zeros((n_strips, px, n_d, ny_p, kp), dtype=np.float32)
@@ -233,8 +241,8 @@ def make_strips_interior(
         ext_y = max(ext_y, ay + hb)
         src_specs.append(
             pl.BlockSpec(
-                (pl.Element(hb), pl.Element(wb)),
-                functools.partial(lambda j, ay=ay: (ay, ax + qx * tnb * j)),
+                (pl.Element(qx), pl.Element(hb), pl.Element(wq_t)),
+                functools.partial(lambda j, ay=ay: (0, ay, tnb * j)),
             )
         )
 
@@ -242,7 +250,7 @@ def make_strips_interior(
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
-    col0 = tuple(rx0 + int(offs_x[rx]) for rx in range(px))
+    col0 = tuple(base_x + int(offs_x[rx]) for rx in range(px))
     kern = functools.partial(
         _strips_kernel,
         ry0s=tuple(ry0s),
@@ -271,10 +279,11 @@ def make_strips_interior(
     def fn(src_f):
         H, W_ = src_f.shape
         pad_h = max(0, ext_y - H)
-        pad_w = max(0, ext_x - W_)
+        pad_w = max(0, qx * wq - W_)
         if pad_h or pad_w:
             src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
-        out = call(w_dev, *([src_f] * n_strips))
+        planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
+        out = call(w_dev, *([planes] * n_strips))
         return out[:, : px * nxb]
 
     patches = []

@@ -1,0 +1,69 @@
+"""On-TPU geometry smoke sweep (not collected by pytest on CPU runs).
+
+Mosaic lowering failures (e.g. lane-strided slices on qx>1 geometries) do
+NOT reproduce in interpret mode — run this on real TPU hardware after any
+kernel change: `python tests/tpu_smoke.py`. Each case pushes a different
+phase structure through the public API and checks parity against the host
+golden (ROADMAP 15).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+CASES = [
+    # (name, src_w, src_h, dst_w, dst_h, tap, bits, kwargs)
+    ("2x upscale qx=1", 96, 64, 192, 128, 8, 8, {}),
+    ("2x downscale qx=2", 192, 128, 96, 64, 3, 8, {}),
+    ("3/2 upscale px=3 qx=2", 128, 96, 192, 144, 4, 16, {}),
+    ("4x upscale px=4", 64, 48, 256, 192, 3, 32, {}),
+    ("2/3 downscale px=2 qx=3", 192, 144, 128, 96, 3, 8, {}),
+    ("subpixel crop", 100, 80, 160, 120, 4, 8, {"src_left": 1.25, "src_top": 0.5}),
+    ("blur + quant1", 96, 64, 144, 96, 3, 16, {"blur": 0.98, "quant_x": 1, "quant_y": 1}),
+]
+
+
+def main():
+    from jincresize_tpu.api import jinc_resize
+    from jincresize_tpu.clip import Clip, random_frame, yuv444p
+
+    failures = 0
+    for name, sw, sh, dw, dh, tap, bits, kw in CASES:
+        fmt = yuv444p(bits)
+        clip = Clip.from_frames([random_frame(fmt, sw, sh, seed=7)])
+        try:
+            out = jinc_resize(clip, dw, dh, tap=tap, **kw).frames[0]
+            ref = jinc_resize(clip, dw, dh, tap=tap, impl="numpy", **kw).frames[0]
+            if bits == 32:
+                d = max(
+                    float(np.abs(out.planes[n] - ref.planes[n]).max())
+                    for n in out.planes
+                )
+                ok = d < 2e-6
+            else:
+                d = max(
+                    int(
+                        np.abs(
+                            out.planes[n].astype(np.int64)
+                            - ref.planes[n].astype(np.int64)
+                        ).max()
+                    )
+                    for n in out.planes
+                )
+                ok = d <= 1
+            status = "ok" if ok else "PARITY FAIL"
+            if not ok:
+                failures += 1
+            print(f"{name:28s} {status}  maxdiff={d}")
+        except Exception as e:  # noqa: BLE001 — smoke harness reports and moves on
+            failures += 1
+            print(f"{name:28s} RUN FAIL: {str(e)[:140]}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
