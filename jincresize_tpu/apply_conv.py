@@ -368,6 +368,14 @@ class ConvApplier:
             (ylo, xlo, py, px, qy, qx, base_y, base_x, nyb, nxb, Kh, Kw) = (
                 self.cop.meta
             )
+            if qx > 1 and backend == "tpu":
+                # pallas_phase's column windows are lane-strided slices,
+                # which Mosaic cannot lower — only qx==1 geometries run on
+                # hardware (interpret mode works for tests).
+                raise ValueError(
+                    "interior='pallas' requires qx==1 on TPU; use the fused "
+                    "or shift interior for strided column geometries."
+                )
             self._interior_fn = make_phase_interior(
                 K_np,
                 self.cop.phase_offsets,

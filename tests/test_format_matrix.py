@@ -69,3 +69,59 @@ CASES = [
 )
 def test_device_matches_golden(fmt, sw, sh, dw, dh, kw):
     _parity(fmt, sw, sh, dw, dh, **kw)
+
+
+def test_float_clamp_semantics():
+    """SIMD float-path source clamp (resize_plane_avx2.cpp:24): chroma/alpha
+    clamp at -0.5, luma at 0.0 — active unless opt==0 (C kernel semantics).
+    Device and golden must agree under BOTH dispatch modes, and the clamp
+    must actually matter for negative inputs."""
+    fmt = yuv444p(32)
+    rng = np.random.default_rng(5)
+    planes = {
+        n: (rng.random((24, 32), dtype=np.float32) * 2.0 - 1.0)
+        for n in fmt.plane_names
+    }
+    from jincresize_tpu.clip import Frame
+
+    clip = Clip.from_frames([Frame(format=fmt, planes=planes)])
+    for opt in (-1, 0):
+        dev = jinc_resize(clip, 64, 48, opt=opt).frames[0]
+        ref = jinc_resize(clip, 64, 48, opt=opt, impl="numpy").frames[0]
+        for n in fmt.plane_names:
+            assert np.abs(dev.planes[n] - ref.planes[n]).max() <= 1e-6, (opt, n)
+    clamped = jinc_resize(clip, 64, 48, opt=-1, impl="numpy").frames[0]
+    raw = jinc_resize(clip, 64, 48, opt=0, impl="numpy").frames[0]
+    assert any(
+        not np.array_equal(clamped.planes[n], raw.planes[n])
+        for n in fmt.plane_names
+    ), "clamp had no effect on negative inputs"
+
+
+def test_u16_overshoot_clamp():
+    """Jinc ringing overshoots hard edges; integer stores clamp to [0, peak]
+    (JincResize.cpp:581 lrintf(clamp(...))). A u16 step edge must saturate
+    identically on device and host."""
+    fmt = gray(16)
+    img = np.zeros((32, 48), np.uint16)
+    img[:, 24:] = 65535
+    from jincresize_tpu.clip import Frame
+
+    clip = Clip.from_frames([Frame(format=fmt, planes={"Y": img})])
+    dev = jinc_resize(clip, 96, 64, tap=8).frames[0].planes["Y"]
+    ref = jinc_resize(clip, 96, 64, tap=8, impl="numpy").frames[0].planes["Y"]
+    assert np.abs(dev.astype(int) - ref.astype(int)).max() <= 1
+    # Ringing against the clamp boundary is present (documents the
+    # C-vs-SIMD saturation equivalence class).
+    assert (ref == 0).any() and (ref == 65535).any()
+
+
+def test_alpha_f32_uses_luma_operator():
+    """Alpha planes resample with out[0] (the luma operator) even for
+    subsampled formats (resize_plane kernels' table select)."""
+    fmt = yuv420p(32, alpha=True)
+    clip = Clip.from_frames([random_frame(fmt, 32, 24, seed=9)])
+    dev = jinc_resize(clip, 64, 48).frames[0]
+    ref = jinc_resize(clip, 64, 48, impl="numpy").frames[0]
+    assert dev.planes["A"].shape == (48, 64)
+    assert np.abs(dev.planes["A"] - ref.planes["A"]).max() <= 1e-6
