@@ -302,7 +302,58 @@ class JincResizer:
             out = out.with_props(_ChromaLocation=loc)
         return out
 
+    def process_clip_batched(self, clip: Clip) -> Clip:
+        """Resample all frames in one batched (SpMM) dispatch per plane.
+
+        The reference reaches frame parallelism through the host running N
+        filter instances (MT_MULTI_INSTANCE, JincResize.cpp:649-652); the
+        TPU-native form batches frames as the dense RHS of the sparse
+        operator (SURVEY.md §2 parallelism table) — one device dispatch per
+        plane instead of one per frame-plane.
+        """
+        import jax.numpy as jnp
+
+        for f in clip.frames:
+            f.validate()
+        dtype = self.fmt.dtype
+        peak = self.peak
+        out_by_plane = {}
+        for name in self.fmt.plane_names:
+            op, dop, cop = self._plane_op(name)
+            src = jnp.asarray(
+                np.stack([f.planes[name] for f in clip.frames], axis=0)
+            )
+            cmin = self._clamp_min(name)
+            if cop is not None and self._impl in ("auto", "conv"):
+                out = cop(src, out_dtype=dtype, peak=peak, float_clamp_min=cmin)
+            else:
+                out = apply_xla.resize_plane_batch(
+                    dop, src, out_dtype=dtype, peak=peak, float_clamp_min=cmin
+                )
+            out_by_plane[name] = np.asarray(out)
+        loc = None
+        if self.fmt.is_420 or self.fmt.is_422 or self.fmt.is_411:
+            loc = {"mpeg2": 0, "mpeg1": 1, "topleft": 2}[self.cplace]
+        frames = []
+        for i, f in enumerate(clip.frames):
+            of = Frame(
+                format=self.fmt,
+                planes={n: out_by_plane[n][i] for n in self.fmt.plane_names},
+                props=dict(f.props),
+            )
+            if loc is not None:
+                of = of.with_props(_ChromaLocation=loc)
+            frames.append(of)
+        return Clip(
+            format=self.fmt,
+            frames=tuple(frames),
+            width=self.cfg.target_width,
+            height=self.cfg.target_height,
+        )
+
     def __call__(self, clip: Clip) -> Clip:
+        if len(clip.frames) > 1 and self._impl in ("auto", "conv", "xla"):
+            return self.process_clip_batched(clip)
         frames = tuple(self.process_frame(f) for f in clip.frames)
         return Clip(
             format=self.fmt,

@@ -188,3 +188,17 @@ def test_precision_bf16_plumbs_and_runs():
     for name in out.planes:
         d = np.abs(out.planes[name].astype(int) - ref.planes[name].astype(int))
         assert d.max() <= 1  # u8 sources are bf16-exact; only weights round
+
+
+def test_batched_clip_matches_per_frame():
+    """Multi-frame clips take the batched SpMM dispatch; output must match
+    the per-frame path exactly (same jitted computation under vmap)."""
+    clip = _clip(yuv420p(8), n=3, seed=4, props={"_ChromaLocation": 0})
+    resized = jinc_resize(clip, 64, 48)
+    assert len(resized.frames) == 3
+    ref = jinc_resize(clip, 64, 48, impl="numpy")
+    for fb, fr in zip(resized.frames, ref.frames):
+        assert fb.props.get("_ChromaLocation") == 0
+        for n in fb.planes:
+            d = np.abs(fb.planes[n].astype(int) - fr.planes[n].astype(int))
+            assert d.max() <= 1, n
