@@ -38,6 +38,12 @@ def main():
     ap.add_argument(
         "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
     )
+    ap.add_argument(
+        "--precision",
+        default="fp32",
+        choices=["fp32", "bf16"],
+        help="bf16 = documented non-parity fast mode (1-pass MXU dots)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -87,7 +93,7 @@ def main():
         from jincresize_tpu.apply_conv import ConvApplier
 
         interior = "pallas" if impl == "pallas" else "auto"
-        applier = ConvApplier(op, interior=interior)
+        applier = ConvApplier(op, interior=interior, precision=args.precision)
         print(f"# interior engine: {applier.interior}", file=sys.stderr)
         fn = applier
     else:

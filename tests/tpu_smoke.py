@@ -24,6 +24,7 @@ CASES = [
     ("2/3 downscale px=2 qx=3", 192, 144, 128, 96, 3, 8, {}),
     ("subpixel crop", 100, 80, 160, 120, 4, 8, {"src_left": 1.25, "src_top": 0.5}),
     ("blur + quant1", 96, 64, 144, 96, 3, 16, {"blur": 0.98, "quant_x": 1, "quant_y": 1}),
+    ("tap16 2x upscale", 96, 64, 192, 128, 16, 32, {}),
 ]
 
 
