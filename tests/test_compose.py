@@ -77,3 +77,24 @@ def test_compose_large_plane_dedup():
     two = apply_plane_numpy(B, apply_plane_numpy(A, src))
     one = apply_plane_numpy(C, src)
     assert np.abs(one - two).max() < 5e-6
+
+
+def test_composed_operator_reenters_conv_path():
+    """Composed operators are regular PlaneOperators: the phase compiler and
+    the conv applier accept them unchanged (the SpGEMM north star — one
+    fused pass through the fast path)."""
+    from jincresize_tpu.apply_conv import ConvApplier
+    from jincresize_tpu.phase import plan_phases
+
+    A = build_plane_operator(64, 48, 128, 96, radius_for_tap(2))
+    B = build_plane_operator(128, 96, 256, 192, radius_for_tap(2))
+    C = compose(A, B)
+    assert plan_phases(C) is not None, "composed 4x chain should be periodic"
+    applier = ConvApplier(C)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    src = rng.random((48, 64), dtype=np.float32)
+    out = np.asarray(applier(jnp.asarray(src)))
+    ref = apply_plane_numpy(C, src)
+    assert np.abs(out - ref).max() < 1e-5
