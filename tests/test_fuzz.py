@@ -88,3 +88,40 @@ def test_builder_matches_scalar_oracle(seed):
     else:
         # Accumulation order matches, so int stores agree exactly.
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_conv_path_matches_golden_random_geometry(seed):
+    """Randomized geometry through the full device conv path (phase
+    compiler + interior + strips + exception fixups) vs the host golden."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.apply_conv import ConvApplier
+
+    rng = np.random.default_rng(2000 + seed)
+    # Rational scales (the conv path's domain); tiny irrational-ish sizes
+    # are aperiodic at this scale and take the gather path instead.
+    num, den = [(2, 1), (3, 2), (1, 2), (4, 3), (3, 1), (2, 3), (5, 4), (4, 1)][
+        seed
+    ]
+    sw = int(rng.integers(4, 10)) * den * 2
+    sh = int(rng.integers(4, 10)) * den * 2
+    g = dict(
+        src_width=sw,
+        src_height=sh,
+        dst_width=sw * num // den,
+        dst_height=sh * num // den,
+        radius=radius_for_tap(int(rng.choice([2, 3, 4]))),
+        quantize_x=int(rng.choice([16, 256])),
+        quantize_y=int(rng.choice([16, 256])),
+        blur=float(rng.choice([1.0, 0.98])),
+    )
+    op = build_plane_operator(**g)
+    try:
+        applier = ConvApplier(op)
+    except ValueError:
+        pytest.skip("aperiodic geometry (gather path covers it)")
+    src = rng.random((g["src_height"], g["src_width"]), dtype=np.float32)
+    out = np.asarray(applier(jnp.asarray(src)))
+    ref = apply_plane_numpy(op, src)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-6)
