@@ -320,14 +320,12 @@ class ConvApplier:
         from .apply_strips_fast import apply_strips_fast, plan_strips
 
         self._strip_plans = plan_strips(op, plan)
-        self._kernel_strips = None  # set by _setup_strip_kernel
         if self._strip_plans is not None:
             plans = self._strip_plans
             self._strips_fn = lambda dop, s, c: apply_strips_fast(dop, plans, s, c)
         else:
             self._strips_fn = None
         backend = jax.default_backend()
-        n_phases = len(self.cop.phase_offsets)
         if interior == "auto":
             from .kernels import pallas_fused
 
