@@ -1,17 +1,19 @@
 """Phase-decomposed convolution apply: the MXU-native fast path.
 
 For periodic geometry (phase.py), the interior resampling is exactly a
-strided VALID cross-correlation: every (row-phase, column-phase) pair owns one
-(fs, fs) coefficient block, embedded at its source offset inside an enlarged
-shared kernel, and the whole interior becomes ONE ``lax.conv_general_dilated``
-with ``py*px`` output channels and strides (qy, qx) — no gathers at all, all
-FLOPs on the MXU. Exception rows/columns (float32 position drift) and border
-strips are then patched with small targeted gather computations.
+strided VALID cross-correlation: every (row-phase, column-phase) pair owns
+one (fs, fs) coefficient block. The interior engine is selectable: the fused
+Pallas banded-matmul kernel (kernels/pallas_fused.py — the TPU default), or
+an XLA shift-sum of identical math (unrolled shifted strided slices x scalar
+weights, used on non-TPU backends and for geometries outside the kernel's
+envelope). Exception rows/columns (float32 position drift) and border strips
+are patched with small targeted computations; when the strips exactly frame
+the interior, the canvas is assembled with a single concatenate.
 
 This is the TPU-native answer to the reference's SIMD gather loops
 (resize_plane_avx512.cpp et al.): where the CPU design minimizes per-pixel
 work via deduplicated table reads from L2, the TPU design reshapes the same
-deduplicated operator into dense convolution kernels that the systolic array
+deduplicated operator into dense banded matmuls that the systolic array
 consumes at full tilt (SURVEY.md §7 "hard parts": gather irregularity).
 """
 
