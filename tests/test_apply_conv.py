@@ -131,3 +131,24 @@ def test_api_auto_uses_conv():
         assert (
             np.abs(out.planes[n].astype(int) - ref.planes[n].astype(int)).max() <= 1
         )
+
+
+def test_concat_assembly_with_exceptions():
+    """The single-concatenate canvas assembly must apply exception fixups to
+    the middle block with the same precedence as the legacy paste path.
+    160x120 -> 400x300 (5/2) has 14 y- and 17 x-exceptions with py*px=25,
+    so the fused (interpret) interior takes the concat path."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.apply_conv import ConvApplier
+    from jincresize_tpu.golden import apply_plane_numpy
+    from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+    op = build_plane_operator(160, 120, 400, 300, radius_for_tap(3))
+    a = ConvApplier(op, interior="fused")
+    assert a._concat is not None
+    assert a.cop.exc_x.shape[0] and a.cop.exc_y.shape[0]
+    src = np.random.default_rng(21).random((120, 160), dtype=np.float32)
+    out = np.asarray(a(jnp.asarray(src)))
+    ref = apply_plane_numpy(op, src)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-6)
