@@ -264,43 +264,47 @@ class JincResizer:
         return 0.0
 
     # ------------------------------------------------------------------ frame
-    def process_frame(self, frame: Frame) -> Frame:
-        """Resample one frame (all planes). Pure; no state mutated."""
-        frame.validate()
-        out_planes = {}
-        dtype = self.fmt.dtype
-        peak = self.peak
-        for name in self.fmt.plane_names:
-            op, dop, cop = self._plane_op(name)
-            src = frame.planes[name]
-            cmin = self._clamp_min(name)
-            if self._impl == "numpy":
-                out_planes[name] = apply_plane_numpy(
-                    op, np.asarray(src), out_dtype=dtype, peak=peak,
-                    float_clamp_min=cmin,
-                )
-            elif cop is not None and self._impl in ("auto", "conv"):
-                import jax.numpy as jnp
+    def _resize_planes(self, name: str, src: np.ndarray) -> np.ndarray:
+        """Resample a batch (F, h, w) of one plane through the selected impl."""
+        op, dop, cop = self._plane_op(name)
+        cmin = self._clamp_min(name)
+        dtype, peak = self.fmt.dtype, self.peak
+        if self._impl == "numpy":
+            return np.stack(
+                [
+                    apply_plane_numpy(
+                        op, s, out_dtype=dtype, peak=peak, float_clamp_min=cmin
+                    )
+                    for s in src
+                ]
+            )
+        import jax.numpy as jnp
 
-                out = cop(
-                    jnp.asarray(src), out_dtype=dtype, peak=peak,
-                    float_clamp_min=cmin,
-                )
-                out_planes[name] = np.asarray(out)
-            else:
-                import jax.numpy as jnp
+        js = jnp.asarray(src)
+        if cop is not None and self._impl in ("auto", "conv"):
+            out = cop(js, out_dtype=dtype, peak=peak, float_clamp_min=cmin)
+        else:
+            out = apply_xla.resize_plane_batch(
+                dop, js, out_dtype=dtype, peak=peak, float_clamp_min=cmin
+            )
+        return np.asarray(out)
 
-                out = apply_xla.resize_plane(
-                    dop, jnp.asarray(src), out_dtype=dtype, peak=peak,
-                    float_clamp_min=cmin,
-                )
-                out_planes[name] = np.asarray(out)
-        out = Frame(format=self.fmt, planes=out_planes, props=dict(frame.props))
+    def _out_frame(self, planes: dict, props: dict) -> Frame:
+        out = Frame(format=self.fmt, planes=planes, props=dict(props))
         # _ChromaLocation output prop for 420/422/411 (JincResize.cpp:617-625).
         if self.fmt.is_420 or self.fmt.is_422 or self.fmt.is_411:
             loc = {"mpeg2": 0, "mpeg1": 1, "topleft": 2}[self.cplace]
             out = out.with_props(_ChromaLocation=loc)
         return out
+
+    def process_frame(self, frame: Frame) -> Frame:
+        """Resample one frame (all planes). Pure; no state mutated."""
+        frame.validate()
+        out_planes = {
+            name: self._resize_planes(name, np.asarray(frame.planes[name])[None])[0]
+            for name in self.fmt.plane_names
+        }
+        return self._out_frame(out_planes, frame.props)
 
     def process_clip_batched(self, clip: Clip) -> Clip:
         """Resample all frames in one batched (SpMM) dispatch per plane.
@@ -311,42 +315,23 @@ class JincResizer:
         operator (SURVEY.md §2 parallelism table) — one device dispatch per
         plane instead of one per frame-plane.
         """
-        import jax.numpy as jnp
-
         for f in clip.frames:
             f.validate()
-        dtype = self.fmt.dtype
-        peak = self.peak
-        out_by_plane = {}
-        for name in self.fmt.plane_names:
-            op, dop, cop = self._plane_op(name)
-            src = jnp.asarray(
-                np.stack([f.planes[name] for f in clip.frames], axis=0)
+        out_by_plane = {
+            name: self._resize_planes(
+                name, np.stack([f.planes[name] for f in clip.frames], axis=0)
             )
-            cmin = self._clamp_min(name)
-            if cop is not None and self._impl in ("auto", "conv"):
-                out = cop(src, out_dtype=dtype, peak=peak, float_clamp_min=cmin)
-            else:
-                out = apply_xla.resize_plane_batch(
-                    dop, src, out_dtype=dtype, peak=peak, float_clamp_min=cmin
-                )
-            out_by_plane[name] = np.asarray(out)
-        loc = None
-        if self.fmt.is_420 or self.fmt.is_422 or self.fmt.is_411:
-            loc = {"mpeg2": 0, "mpeg1": 1, "topleft": 2}[self.cplace]
-        frames = []
-        for i, f in enumerate(clip.frames):
-            of = Frame(
-                format=self.fmt,
-                planes={n: out_by_plane[n][i] for n in self.fmt.plane_names},
-                props=dict(f.props),
+            for name in self.fmt.plane_names
+        }
+        frames = tuple(
+            self._out_frame(
+                {n: out_by_plane[n][i] for n in self.fmt.plane_names}, f.props
             )
-            if loc is not None:
-                of = of.with_props(_ChromaLocation=loc)
-            frames.append(of)
+            for i, f in enumerate(clip.frames)
+        )
         return Clip(
             format=self.fmt,
-            frames=tuple(frames),
+            frames=frames,
             width=self.cfg.target_width,
             height=self.cfg.target_height,
         )

@@ -340,6 +340,9 @@ class ConvApplier:
             else:
                 interior = "shift"
         self.interior = interior
+        # Requested vs effective: only the fused interior consumes the
+        # precision mode; shift/pallas interiors run full-fp32 math.
+        self.effective_precision = precision if interior == "fused" else "fp32"
         self._interior_fn = None
         self._interior_layout = "phase"
         if interior == "fused":

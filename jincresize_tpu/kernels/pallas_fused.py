@@ -362,6 +362,10 @@ def make_fused_interior(
         pad_w = max(0, qx * wq - W_)
         if pad_h or pad_w:
             src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
+        if src_f.shape[1] > qx * wq:
+            # Source wider than the interior's read coverage (qx*wq >= ext_x
+            # bounds every read): crop so the residue reshape is shape-valid.
+            src_f = src_f[:, : qx * wq]
         planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
         out = call(w_dev, planes)
         return out[: py * nyb, : px * nxb]
@@ -398,8 +402,10 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
     if hbu_min > 4 * LANE:
         return False
     # Full-width row bands must fit VMEM (~16MB/core, double-buffered):
-    # src band + dst band + weights + staging scratch, with the largest
-    # plausible tile (tmb<=32 rows of blocks).
+    # src residue planes + dst band + weights + staging scratch. The source
+    # block is (qx, hb, wq) where qx*wq covers ext_x (interior reads plus
+    # column-tile and per-plane LANE round-ups), so model it from ext_x.
+    qx = plan.x.q
     fs_x = fs + spread_x
     tmb = _choose_tmb(fs, py, qy, spread_y, plan.y.nblocks, px, fs_x)
     hbu_p = _round_up(qy * (tmb - 1) + spread_y + fs, SUB)
@@ -407,8 +413,13 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
     g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
     n_d = -(-fs_x // g)
     kp = g * hbu_p
-    band = hb * (op.src_width + 2 * LANE) * 4
-    outb = py * tmb * (op.dst_width + px * TNB) * 4
+    nxb = plan.x.nblocks
+    nt = -(-nxb // TNB)
+    base_x = plan.x.base
+    ext_x = _round_up(base_x + spread_x + (fs - 1) + qx * (TNB * nt - 1) + 1, LANE)
+    wq = _round_up(-(-ext_x // qx), LANE)
+    band = qx * hb * wq * 4
+    outb = py * tmb * (nt * px * TNB) * 4
     wb = n_d * px * py * tmb * kp * 4
     scratch = n_d * kp * TNB * 4
     return 2 * (band + outb) + wb + scratch <= 12 * 1024 * 1024

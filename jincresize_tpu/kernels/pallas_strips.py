@@ -282,6 +282,9 @@ def make_strips_interior(
         pad_w = max(0, qx * wq - W_)
         if pad_h or pad_w:
             src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
+        if src_f.shape[1] > qx * wq:
+            # qx*wq bounds every strip read; crop for a shape-valid reshape.
+            src_f = src_f[:, : qx * wq]
         planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
         out = call(w_dev, *([planes] * n_strips))
         return out[:, : px * nxb]

@@ -407,10 +407,24 @@ def make_sharded_apply_conv(
             backend_tpu = all(
                 d.platform == "tpu" for d in np.asarray(mesh.devices).flat
             )
+            import os as _os
+
             ifn_local = pallas_fused.make_fused_interior(
-                op, plan_local, interpret=not backend_tpu
+                op,
+                plan_local,
+                precision=_os.environ.get(
+                    "JINCRESIZE_FUSED_PRECISION", "highest"
+                ),
+                interpret=not backend_tpu,
             )
-    except Exception:  # pragma: no cover — defensive: shift-sum still works
+    except Exception as e:  # defensive: the shift-sum interior still works
+        import warnings
+
+        warnings.warn(
+            f"sharded fused interior unavailable, using shift-sum: {e!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         ifn_local = None
 
     blocks_all, bid = build_uniform(op)

@@ -180,6 +180,9 @@ def test_precision_bf16_plumbs_and_runs():
     op = build_plane_operator(32, 24, 64, 48, radius_for_tap(3))
     a = ConvApplier(op, precision="bf16")
     assert a.precision == "bf16"
+    # Only the fused interior consumes the mode; on CPU (shift interior)
+    # the effective precision reports full fp32.
+    assert a.effective_precision == ("bf16" if a.interior == "fused" else "fp32")
     with pytest.raises(ValueError, match="unknown precision"):
         ConvApplier(op, precision="fp16")
     clip = _clip(yuv420p(8))
