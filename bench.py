@@ -159,6 +159,14 @@ def main():
         file=sys.stderr,
     )
 
+    # nnz/s traceability (BASELINE.md §3): logical weights applied per second.
+    nnz_per_px = op.stats()["logical_nnz"] / (dw * dh)
+    print(
+        f"# logical nnz/s: {px_per_s * nnz_per_px / 1e12:.3f} T "
+        f"({nnz_per_px:.0f} nnz/px)",
+        file=sys.stderr,
+    )
+
     scale = 1.0 if not args.small else 0.25  # report vs the 8K bar regardless
     print(
         json.dumps(
