@@ -25,16 +25,18 @@ CASES = [
     ("subpixel crop", 100, 80, 160, 120, 4, 8, {"src_left": 1.25, "src_top": 0.5}),
     ("blur + quant1", 96, 64, 144, 96, 3, 16, {"blur": 0.98, "quant_x": 1, "quant_y": 1}),
     ("tap16 2x upscale", 96, 64, 192, 128, 16, 32, {}),
+    ("420 topleft chroma", 128, 96, 256, 192, 3, 8, {"cplace": "topleft", "fmt": "420"}),
 ]
 
 
 def main():
     from jincresize_tpu.api import jinc_resize
-    from jincresize_tpu.clip import Clip, random_frame, yuv444p
+    from jincresize_tpu.clip import Clip, random_frame, yuv420p, yuv444p
 
     failures = 0
     for name, sw, sh, dw, dh, tap, bits, kw in CASES:
-        fmt = yuv444p(bits)
+        kw = dict(kw)
+        fmt = yuv420p(bits) if kw.pop("fmt", None) == "420" else yuv444p(bits)
         clip = Clip.from_frames([random_frame(fmt, sw, sh, seed=7)])
         try:
             out = jinc_resize(clip, dw, dh, tap=tap, **kw).frames[0]
