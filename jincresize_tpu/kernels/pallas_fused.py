@@ -52,15 +52,58 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative of ~16MB/core
+
+
+def _vmem_bytes(
+    fs: int,
+    py: int,
+    px: int,
+    qy: int,
+    qx: int,
+    spread_y: int,
+    fs_x: int,
+    base_x: int,
+    nxb: int,
+    tmb: int,
+) -> int:
+    """Estimated VMEM footprint of one pipelined band at blocks-per-tile tmb:
+    double-buffered source residue planes + output band, plus weights (3x for
+    the wsplit3 mode's pre-split components) and staging scratch."""
+    hbu_p = _round_up(qy * (tmb - 1) + spread_y + fs, SUB)
+    hb = _round_up(SUB + hbu_p, SUB)
+    g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
+    n_d = -(-fs_x // g)
+    kp = g * hbu_p
+    nt = -(-nxb // TNB)
+    ext_x = _round_up(base_x + (fs_x - 1) + qx * (TNB * nt - 1) + 1, LANE)
+    wq = _round_up(-(-ext_x // qx), LANE)
+    band = qx * hb * wq * 4
+    outb = py * tmb * (nt * px * TNB) * 4
+    wb = 3 * n_d * px * py * tmb * kp * 4
+    scratch = n_d * kp * TNB * 4
+    return 2 * (band + outb) + wb + scratch
+
+
 def _choose_tmb(
-    fs: int, py: int, qy: int, spread_y: int, nyb: int, px: int, fs_x: int
+    fs: int,
+    py: int,
+    qy: int,
+    spread_y: int,
+    nyb: int,
+    px: int,
+    fs_x: int,
+    qx: int = 1,
+    base_x: int = 0,
+    nxb: int = 1,
 ) -> int:
     """Pick blocks-per-tile: minimize MXU passes per output pixel.
 
     Each pack is one dot with M = px*py*tmb (phases M-concatenated); Mosaic
     splits M into ceil(M/128) chunks, each a full pass set, so the cost per
     output is n_d * mchunks / M, with a fixed per-dot issue latency amortized
-    over the tile (calibrated on v5e at 4K->8K tap8).
+    over the tile (calibrated on v5e at 4K->8K tap8). Candidates whose band
+    would overflow VMEM are skipped (wide outputs get shorter tiles).
     """
     if _TMB_ENV:
         return int(_TMB_ENV)
@@ -74,6 +117,11 @@ def _choose_tmb(
             if best_score == float("inf"):
                 best = tmb  # geometry too tall for K=128: take smallest
             break
+        if (
+            _vmem_bytes(fs, py, px, qy, qx, spread_y, fs_x, base_x, nxb, tmb)
+            > VMEM_BUDGET
+        ):
+            continue
         g = max(1, LANE // hbu_p)
         n_d = -(-fs_x // g)
         m = px * py * tmb
@@ -251,7 +299,9 @@ def make_fused_interior(
     # operand set over [0, fs + spread_x); phase rx's taps occupy the
     # sub-range [offs_x[rx] - min, +fs) and its weights are zero elsewhere.
     fs_x = fs + spread_x
-    tmb = _choose_tmb(fs, py, qy, spread_y, nyb, px, fs_x)
+    tmb = _choose_tmb(
+        fs, py, qy, spread_y, nyb, px, fs_x, qx=qx, base_x=base_x, nxb=nxb
+    )
     tmo = py * tmb
     tno = px * tnb
     hbu = qy * (tmb - 1) + spread_y + fs
@@ -404,22 +454,17 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
     # Full-width row bands must fit VMEM (~16MB/core, double-buffered):
     # src residue planes + dst band + weights + staging scratch. The source
     # block is (qx, hb, wq) where qx*wq covers ext_x (interior reads plus
-    # column-tile and per-plane LANE round-ups), so model it from ext_x.
+    # column-tile and per-plane LANE round-ups). _choose_tmb already skips
+    # VMEM-overflowing tiles, so check the footprint of its pick.
     qx = plan.x.q
     fs_x = fs + spread_x
-    tmb = _choose_tmb(fs, py, qy, spread_y, plan.y.nblocks, px, fs_x)
-    hbu_p = _round_up(qy * (tmb - 1) + spread_y + fs, SUB)
-    hb = _round_up(SUB + hbu_p, SUB)
-    g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
-    n_d = -(-fs_x // g)
-    kp = g * hbu_p
     nxb = plan.x.nblocks
-    nt = -(-nxb // TNB)
     base_x = plan.x.base
-    ext_x = _round_up(base_x + spread_x + (fs - 1) + qx * (TNB * nt - 1) + 1, LANE)
-    wq = _round_up(-(-ext_x // qx), LANE)
-    band = qx * hb * wq * 4
-    outb = py * tmb * (nt * px * TNB) * 4
-    wb = n_d * px * py * tmb * kp * 4
-    scratch = n_d * kp * TNB * 4
-    return 2 * (band + outb) + wb + scratch <= 12 * 1024 * 1024
+    tmb = _choose_tmb(
+        fs, py, qy, spread_y, plan.y.nblocks, px, fs_x,
+        qx=qx, base_x=base_x, nxb=nxb,
+    )
+    return (
+        _vmem_bytes(fs, py, px, qy, qx, spread_y, fs_x, base_x, nxb, tmb)
+        <= VMEM_BUDGET
+    )
