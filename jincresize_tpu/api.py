@@ -54,9 +54,12 @@ class JincConfig:
     initial_capacity: int | None = None
     initial_factor: float = 1.5
     # TPU-native execution selector (replaces the ISA dispatch, SURVEY C17):
-    # 'auto' prefers the phase-conv MXU path when the geometry is periodic,
-    # falling back to the XLA gather path; 'numpy' is the host golden.
-    impl: str = "auto"  # 'auto' | 'conv' | 'xla' | 'pallas' | 'numpy'
+    # 'auto' prefers the phase-conv MXU path for periodic geometry, the
+    # Pallas gather kernel for aperiodic geometry on TPU, then the XLA
+    # gather path; 'conv'/'gather' force one engine (error if ineligible);
+    # 'pallas' requires a Pallas engine (fused conv interior or gather
+    # kernel); 'numpy' is the host golden.
+    impl: str = "auto"  # 'auto' | 'conv' | 'gather' | 'xla' | 'pallas' | 'numpy'
     # Float-path source clamp: the reference's SIMD kernels clamp float
     # sources at -0.5 (chroma/alpha) / 0.0 (luma/RGB) while the C kernel does
     # not. None reproduces the reference dispatch: clamp unless opt == 0.
@@ -65,6 +68,11 @@ class JincConfig:
     # bit-parity default (6-pass dots); 'bf16' is a documented non-parity
     # fast mode (1-pass dots, ~1e-3 relative interior error, ~1.7x faster).
     precision: str = "fp32"
+    # Disk-cache built operators keyed by geometry (cache.py): repeat
+    # constructions of the same geometry skip the host build entirely
+    # (SURVEY.md §5 checkpoint/resume — the coefficient table is the only
+    # durable state). Cache dir: $JINCRESIZE_CACHE_DIR.
+    operator_cache: bool = True
 
 
 def _resolve_cplace(cfg: JincConfig, fmt: VideoFormat, frame0: Frame | None) -> str:
@@ -112,10 +120,93 @@ def _validate(cfg: JincConfig) -> None:
         )
     if cfg.initial_capacity is not None and cfg.initial_capacity <= 0:
         raise JincError("JincResize: initial_capacity must be greater than 0.")
-    if cfg.impl not in ("auto", "conv", "xla", "pallas", "numpy"):
+    if cfg.impl not in (
+        "auto",
+        "conv",
+        "gather",
+        "xla",
+        "pallas",
+        "numpy",
+        "sharded",
+    ):
         raise JincError(f"JincResize: unknown impl {cfg.impl!r}.")
     if cfg.precision not in ("fp32", "bf16"):
         raise JincError(f"JincResize: unknown precision {cfg.precision!r}.")
+
+
+def _select_engine(op: PlaneOperator, impl: str, precision: str):
+    """Pick the execution engine for one plane operator.
+
+    Returns (applier_or_None, engine_name); engine_name is one of 'fused',
+    'shift' (both via ConvApplier), 'gather' (GatherApplier) or 'xla' (no
+    applier — the general XLA path). Every accepted ``impl`` value runs what
+    it names or raises, mirroring the reference's honest 48-way dispatch
+    (JincResize.cpp:897-972) where ``opt`` selects the kernel that executes.
+    """
+    import jax
+
+    from .apply_conv import ConvApplier
+    from .apply_gather import GatherApplier
+    from .phase import plan_phases
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def try_conv(interior="auto"):
+        try:
+            return ConvApplier(op, interior=interior, precision=precision)
+        except ValueError:
+            return None
+
+    def try_gather():
+        try:
+            return GatherApplier(op, interpret=not on_tpu)
+        except ValueError:
+            return None
+
+    if impl == "conv":
+        app = try_conv()
+        if app is None:
+            raise JincError(
+                "JincResize: impl='conv' requires periodic geometry "
+                "(use impl='auto' for automatic fallback)."
+            )
+        return app, app.interior
+    if impl == "gather":
+        app = try_gather()
+        if app is None:
+            raise JincError(
+                "JincResize: impl='gather' — geometry outside the gather "
+                "kernel envelope (use impl='auto' for automatic fallback)."
+            )
+        return app, "gather"
+    if impl == "pallas":
+        # Honest selector: 'pallas' must execute a Pallas engine. The fused
+        # conv interior when the phase plan and kernel envelope allow it,
+        # else the general gather kernel, else an error (like impl='conv').
+        from .kernels import pallas_fused
+
+        plan = plan_phases(op)
+        if plan is not None and pallas_fused.is_supported(op, plan):
+            app = ConvApplier(op, plan=plan, interior="fused", precision=precision)
+            return app, "fused"
+        app = try_gather()
+        if app is None:
+            raise JincError(
+                "JincResize: impl='pallas' — geometry is outside both Pallas "
+                "kernel envelopes (use impl='auto' for automatic fallback)."
+            )
+        return app, "gather"
+    # impl == 'auto': conv (fused/shift) for periodic geometry; the gather
+    # kernel for aperiodic geometry on TPU (interpret mode is too slow to be
+    # an automatic choice elsewhere); the XLA path otherwise.
+    app = try_conv()
+    if app is not None:
+        return app, app.interior
+    if on_tpu:
+        app = try_gather()
+        if app is not None:
+            return app, "gather"
+    return None, "xla"
 
 
 class JincResizer:
@@ -133,8 +224,13 @@ class JincResizer:
         height: int,
         cfg: JincConfig,
         frame0: Frame | None = None,
+        mesh=None,
     ):
         _validate(cfg)
+        if mesh is not None and cfg.impl not in ("auto", "sharded"):
+            raise JincError(
+                "JincResize: mesh is only valid with impl='sharded' or 'auto'."
+            )
         self.fmt = fmt
         self.src_width = width
         self.src_height = height
@@ -158,13 +254,30 @@ class JincResizer:
         lut = build_lut(radius, blur)
         self.peak = fmt.peak
 
+        if cfg.operator_cache:
+            # Warm constructions load the serialized operator instead of
+            # re-running the host build (cache.py; keyed by geometry +
+            # builder version). The LUT is derived from (radius, blur),
+            # which are both in the key.
+            from .cache import cached_build
+
+            def _build(**geometry):
+                return cached_build(
+                    lambda **g: build_plane_operator(lut=lut, **g), **geometry
+                )
+
+        else:
+
+            def _build(**geometry):
+                return build_plane_operator(lut=lut, **geometry)
+
         # Luma/444/RGB operator (out[0] — also used for alpha planes).
-        self.op_luma: PlaneOperator = build_plane_operator(
-            width,
-            height,
-            tw,
-            th,
-            radius,
+        self.op_luma: PlaneOperator = _build(
+            src_width=width,
+            src_height=height,
+            dst_width=tw,
+            dst_height=th,
+            radius=radius,
             crop_left=crop_left,
             crop_top=crop_top,
             crop_width=crop_width,
@@ -172,7 +285,6 @@ class JincResizer:
             quantize_x=cfg.quant_x,
             quantize_y=cfg.quant_y,
             blur=blur,
-            lut=lut,
         )
         # Subsampled chroma operator (out[1]) with chroma-siting shift
         # (JincResize.cpp:830-862).
@@ -191,12 +303,12 @@ class JincResizer:
                 fmt.sub_w,
                 fmt.sub_h,
             )
-            self.op_chroma = build_plane_operator(
-                width >> fmt.sub_w,
-                height >> fmt.sub_h,
-                tw >> fmt.sub_w,
-                th >> fmt.sub_h,
-                radius,
+            self.op_chroma = _build(
+                src_width=width >> fmt.sub_w,
+                src_height=height >> fmt.sub_h,
+                dst_width=tw >> fmt.sub_w,
+                dst_height=th >> fmt.sub_h,
+                radius=radius,
                 crop_left=cl,
                 crop_top=ct,
                 crop_width=cw,
@@ -204,41 +316,9 @@ class JincResizer:
                 quantize_x=cfg.quant_x,
                 quantize_y=cfg.quant_y,
                 blur=blur,
-                lut=lut,
             )
 
-        self._impl = cfg.impl
-        self._dev_luma = None
-        self._dev_chroma = None
-        self._conv_luma = None
-        self._conv_chroma = None
-        if self._impl in ("auto", "conv", "xla", "pallas"):
-            self._dev_luma = apply_xla.to_device(self.op_luma)
-            if self.op_chroma is not None:
-                self._dev_chroma = apply_xla.to_device(self.op_chroma)
-        if self._impl in ("auto", "conv"):
-            from .apply_conv import ConvApplier
-
-            # u8 planes are bf16-exact, so the weight-split 3-pass kernel is
-            # exact within the parity bound at half the MXU cost of HIGHEST.
-            prec = cfg.precision
-            if prec == "fp32" and fmt.bits == 8:
-                prec = "fp32_u8src"
-
-            def _try_applier(op):
-                try:
-                    return ConvApplier(op, precision=prec)
-                except ValueError:
-                    return None
-
-            self._conv_luma = _try_applier(self.op_luma)
-            if self.op_chroma is not None:
-                self._conv_chroma = _try_applier(self.op_chroma)
-            if self._impl == "conv" and self._conv_luma is None:
-                raise JincError(
-                    "JincResize: impl='conv' requires periodic geometry "
-                    "(use impl='auto' for automatic fallback)."
-                )
+        self._init_engines(mesh)
 
         # Float-source clamp per plane (SIMD semantics unless opt==0).
         clamp = cfg.float_clamp
@@ -246,14 +326,72 @@ class JincResizer:
             clamp = cfg.opt != 0
         self._float_clamp = clamp and fmt.bits == 32
 
+    # --------------------------------------------------------------- engines
+    def _init_engines(self, mesh=None) -> None:
+        """Select and build the execution engine per plane operator.
+
+        Populates ``self.engines`` — the per-plane executed engine
+        (observability: the reference's `opt` genuinely selects the kernel
+        that runs, JincResize.cpp:897-972; tests assert these match the
+        requested impl).
+        """
+        cfg, fmt = self.cfg, self.fmt
+        self._impl = cfg.impl
+        self._dev_luma = None
+        self._dev_chroma = None
+        self._applier_luma = None
+        self._applier_chroma = None
+        self.engines: dict[str, str] = {}
+        # u8 planes are bf16-exact, so the weight-split 3-pass kernel is
+        # exact within the parity bound at half the MXU cost of HIGHEST.
+        prec = cfg.precision
+        if prec == "fp32" and fmt.bits == 8:
+            prec = "fp32_u8src"
+        if self._impl == "sharded" or (self._impl == "auto" and mesh is not None):
+            # Multi-chip path: row-sharded apply over a device mesh with
+            # in-jit finalize (SURVEY.md §2 parallelism table; the reference
+            # has no distributed mode). Default mesh: all visible devices on
+            # the row axis.
+            from .sharding import ShardedApplier, make_mesh
+
+            if mesh is None:
+                mesh = make_mesh()
+            self._applier_luma = ShardedApplier(self.op_luma, mesh, precision=prec)
+            self.engines["luma"] = f"sharded/{self._applier_luma.interior}"
+            if self.op_chroma is not None:
+                self._applier_chroma = ShardedApplier(
+                    self.op_chroma, mesh, precision=prec
+                )
+                self.engines["chroma"] = f"sharded/{self._applier_chroma.interior}"
+            self._impl = "sharded"
+            return
+        if self._impl in ("auto", "conv", "gather", "xla", "pallas"):
+            self._dev_luma = apply_xla.to_device(self.op_luma)
+            if self.op_chroma is not None:
+                self._dev_chroma = apply_xla.to_device(self.op_chroma)
+        if self._impl in ("auto", "conv", "gather", "pallas"):
+            self._applier_luma, eng = _select_engine(
+                self.op_luma, self._impl, prec
+            )
+            self.engines["luma"] = eng
+            if self.op_chroma is not None:
+                self._applier_chroma, eng = _select_engine(
+                    self.op_chroma, self._impl, prec
+                )
+                self.engines["chroma"] = eng
+        else:  # 'xla' | 'numpy'
+            self.engines["luma"] = self._impl
+            if self.op_chroma is not None:
+                self.engines["chroma"] = self._impl
+
     # ------------------------------------------------------------------ plane
     def _plane_op(self, name: str):
         """Coefficient-table select per plane: chroma planes use out[1] for
         subsampled formats, everything else (incl. alpha) uses out[0]
         (resize_plane kernels' table select, e.g. resize_plane_avx2.cpp:26-32)."""
         if name in ("U", "V") and self.op_chroma is not None:
-            return self.op_chroma, self._dev_chroma, self._conv_chroma
-        return self.op_luma, self._dev_luma, self._conv_luma
+            return self.op_chroma, self._dev_chroma, self._applier_chroma
+        return self.op_luma, self._dev_luma, self._applier_luma
 
     def _clamp_min(self, name: str) -> float | None:
         if not self._float_clamp:
@@ -281,7 +419,7 @@ class JincResizer:
         import jax.numpy as jnp
 
         js = jnp.asarray(src)
-        if cop is not None and self._impl in ("auto", "conv"):
+        if cop is not None:
             out = cop(js, out_dtype=dtype, peak=peak, float_clamp_min=cmin)
         else:
             out = apply_xla.resize_plane_batch(
@@ -337,7 +475,7 @@ class JincResizer:
         )
 
     def __call__(self, clip: Clip) -> Clip:
-        if len(clip.frames) > 1 and self._impl in ("auto", "conv", "xla"):
+        if len(clip.frames) > 1 and self._impl != "numpy":
             return self.process_clip_batched(clip)
         frames = tuple(self.process_frame(f) for f in clip.frames)
         return Clip(
@@ -352,14 +490,168 @@ def jinc_resize(
     clip: Clip,
     target_width: int,
     target_height: int,
+    mesh=None,
     **kwargs,
 ) -> Clip:
     """``JincResize(clip, target_width, target_height, ...)`` — full 16-param
-    surface (JincResize.cpp:1044-1060)."""
+    surface (JincResize.cpp:1044-1060). ``mesh`` (a jax.sharding.Mesh with a
+    'rows' axis) routes execution through the multi-chip sharded path."""
     cfg = JincConfig(target_width=target_width, target_height=target_height, **kwargs)
     frame0 = clip.frames[0] if len(clip.frames) else None
-    resizer = JincResizer(clip.format, clip.width, clip.height, cfg, frame0=frame0)
+    resizer = JincResizer(
+        clip.format, clip.width, clip.height, cfg, frame0=frame0, mesh=mesh
+    )
     return resizer(clip)
+
+
+class ChainResizer(JincResizer):
+    """Composed multi-stage resizer: one fused operator for a whole chain.
+
+    New capability relative to the reference (compose.py): chained script
+    calls there resample twice with intermediate rounding; here the per-stage
+    operators are pre-composed by SpGEMM into ONE banded operator per plane,
+    so frame time is a single pass with no intermediate quantization loss,
+    and the composed operator re-enters every execution engine (fused conv /
+    gather / sharded) through the normal selector.
+    """
+
+    def __init__(
+        self,
+        fmt: VideoFormat,
+        width: int,
+        height: int,
+        cfgs: list[JincConfig],
+        frame0: Frame | None = None,
+        mesh=None,
+    ):
+        if not cfgs:
+            raise JincError("JincResize: chain needs at least one stage.")
+        from .compose import compose
+
+        # Resolve cplace once from the first stage (later stages would read
+        # the _ChromaLocation prop the previous stage wrote — same value).
+        cpl = _resolve_cplace(cfgs[0], fmt, frame0)
+        for cfg in cfgs:
+            _validate(cfg)
+        last = cfgs[-1]
+
+        # Composed-operator cache: keyed by the full stage chain + plane
+        # (extends cache.py's single-geometry keys to chains, ROADMAP 13).
+        cache_paths = {}
+        if all(c.operator_cache for c in cfgs):
+            from dataclasses import asdict
+
+            from .cache import default_cache_dir, geometry_key
+
+            def _desc(c: JincConfig) -> dict:
+                d = asdict(c)
+                # Drop everything that does not affect coefficients.
+                for k in (
+                    "impl",
+                    "precision",
+                    "operator_cache",
+                    "threads",
+                    "opt",
+                    "initial_capacity",
+                    "initial_factor",
+                    "float_clamp",
+                    "cplace",
+                ):
+                    d.pop(k, None)
+                return d
+
+            base = dict(
+                chain=[_desc(c) for c in cfgs],
+                cplace=cpl,
+                src=[width, height],
+                sub=[fmt.sub_w, fmt.sub_h],
+                family=fmt.family,
+            )
+            for plane in ("luma", "chroma"):
+                key = geometry_key(plane=plane, **base)
+                cache_paths[plane] = default_cache_dir() / f"chain_{key}.npz"
+
+        def _load(plane):
+            from .cache import load_operator
+
+            p = cache_paths.get(plane)
+            if p is not None and p.exists():
+                try:
+                    return load_operator(p)
+                except Exception:
+                    return None
+            return None
+
+        need_chroma = fmt.family == "YUV" and fmt.is_subsampled
+        composed_luma = _load("luma")
+        composed_chroma = _load("chroma") if need_chroma else None
+        self.stages = []
+        if composed_luma is None or (need_chroma and composed_chroma is None):
+            # Stage resizers are built engine-less (impl='numpy') — only
+            # their operators are consumed. cplace pinned to the resolved
+            # value so subsampled chroma siting matches chained execution.
+            stages = []
+            w, h = width, height
+            for cfg in cfgs:
+                r = JincResizer(
+                    fmt, w, h, replace(cfg, impl="numpy", cplace=cpl), frame0=None
+                )
+                stages.append(r)
+                w, h = cfg.target_width, cfg.target_height
+            self.stages = stages
+            from .cache import save_operator
+
+            if composed_luma is None:
+                composed_luma = stages[0].op_luma
+                for r in stages[1:]:
+                    composed_luma = compose(composed_luma, r.op_luma)
+                if cache_paths:
+                    try:
+                        save_operator(composed_luma, cache_paths["luma"])
+                    except OSError:
+                        pass
+            if need_chroma and composed_chroma is None:
+                composed_chroma = stages[0].op_chroma
+                for r in stages[1:]:
+                    composed_chroma = compose(composed_chroma, r.op_chroma)
+                if cache_paths:
+                    try:
+                        save_operator(composed_chroma, cache_paths["chroma"])
+                    except OSError:
+                        pass
+
+        # Adopt the final stage's identity, then install the composed
+        # operators and select engines exactly like a single-stage resizer.
+        self.fmt = fmt
+        self.src_width = width
+        self.src_height = height
+        self.cfg = last
+        self.cplace = cpl
+        self.peak = fmt.peak
+        self.op_luma = composed_luma
+        self.op_chroma = composed_chroma
+        self._init_engines(mesh)
+        clamp = last.float_clamp
+        if clamp is None:
+            clamp = last.opt != 0
+        self._float_clamp = clamp and fmt.bits == 32
+
+
+def jinc_resize_chain(clip: Clip, stages: list[dict], mesh=None) -> Clip:
+    """Run a chain of resizes as ONE composed operator pass.
+
+    ``stages`` is a list of jinc_resize keyword dicts (each needs
+    ``target_width``/``target_height``). Equivalent to nested jinc_resize
+    calls for float clips, minus the intermediate passes; for integer clips
+    it SKIPS the intermediate round/clamp (a quality improvement — documented
+    deviation from running the stages separately).
+    """
+    cfgs = [JincConfig(**s) for s in stages]
+    frame0 = clip.frames[0] if len(clip.frames) else None
+    r = ChainResizer(
+        clip.format, clip.width, clip.height, cfgs, frame0=frame0, mesh=mesh
+    )
+    return r(clip)
 
 
 def _alias(tap: int):

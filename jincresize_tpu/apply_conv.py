@@ -294,10 +294,10 @@ def resize_plane_conv(
 class ConvApplier:
     """Phase-conv applier with a selectable interior engine.
 
-    ``interior='pallas'`` uses the Pallas phase kernel (kernels/pallas_phase.py)
-    for the periodic interior; ``'shift'`` uses the XLA shift-sum;
-    ``'auto'`` picks Pallas on TPU backends when the tap count is tractable.
-    Fixups and strips are shared. Holds its own jit caches.
+    ``interior='fused'`` uses the fused Pallas banded-matmul kernel
+    (kernels/pallas_fused.py); ``'shift'`` uses the XLA shift-sum; ``'auto'``
+    picks the fused kernel on TPU backends when the geometry fits its
+    envelope. Fixups and strips are shared. Holds its own jit caches.
     """
 
     def __init__(
@@ -331,10 +331,7 @@ class ConvApplier:
         if interior == "auto":
             from .kernels import pallas_fused
 
-            # auto = fused else shift. The per-phase kernel (pallas_phase)
-            # stays available explicitly but is excluded from auto: it
-            # carries lane-strided slices that Mosaic cannot lower for
-            # qx>1 geometries, and the fused kernel dominates it anyway.
+            # auto = fused else shift.
             if backend == "tpu" and pallas_fused.is_supported(op, plan):
                 interior = "fused"
             else:
@@ -364,33 +361,6 @@ class ConvApplier:
                 interpret=(backend != "tpu"),
             )
             self._interior_layout = "dst"
-        elif interior == "pallas":
-            from .kernels.pallas_phase import make_phase_interior
-
-            K_np = build_conv_kernels(op, plan)
-            (ylo, xlo, py, px, qy, qx, base_y, base_x, nyb, nxb, Kh, Kw) = (
-                self.cop.meta
-            )
-            if qx > 1 and backend == "tpu":
-                # pallas_phase's column windows are lane-strided slices,
-                # which Mosaic cannot lower — only qx==1 geometries run on
-                # hardware (interpret mode works for tests).
-                raise ValueError(
-                    "interior='pallas' requires qx==1 on TPU; use the fused "
-                    "or shift interior for strided column geometries."
-                )
-            self._interior_fn = make_phase_interior(
-                K_np,
-                self.cop.phase_offsets,
-                self.fs,
-                qy,
-                qx,
-                nyb,
-                nxb,
-                base_y,
-                base_x,
-                interpret=(backend != "tpu"),
-            )
         # Default strip-block producer (value blocks, not canvas updates);
         # the Pallas strip kernel path overrides it below.
         if self._strip_plans is not None:

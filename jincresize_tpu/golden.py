@@ -89,6 +89,159 @@ def apply_plane_numpy(
 
 
 # ---------------------------------------------------------------------------
+# Sampled scalar oracle (production-scale spot checks).
+# ---------------------------------------------------------------------------
+
+
+def reference_sample_pixels(
+    src: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    dst_width: int,
+    dst_height: int,
+    radius: float,
+    crop_left: float = 0.0,
+    crop_top: float = 0.0,
+    crop_width: float | None = None,
+    crop_height: float | None = None,
+    quantize_x: int = 256,
+    quantize_y: int = 256,
+    blur: float = 1.0,
+):
+    """Scalar-oracle values at sampled destination pixels, any plane size.
+
+    Replicates ``reference_resize_plane`` semantics at O(dst_w + dst_h +
+    n_samples * fs^2) cost instead of O(dst_px * fs^2): position accumulators
+    are advanced serially in float32 exactly like the reference's
+    ``xpos += x_step`` loop (JincResize.cpp:524, 531), and a sampled pixel's
+    memoized block is computed at the key's FIRST row-major occurrence.
+    First-occurrence factorization is exact here because the memo key
+    ``(qy_val, qx_val)`` is separable: the set of interior column classes is
+    identical in every interior row, so the first pixel with pair (a, b) lies
+    in the first interior row with row class a, at the first interior column
+    with column class b (the builder relies on the same argument,
+    operator.py:25-31 — this oracle derives the classes from the serial
+    scalar recurrence instead, so agreement at large indices pins the
+    builder's float32 drift tracking at production scale).
+
+    Returns (values[n], blocks[n, fs, fs], start_y[n], start_x[n]).
+    """
+    src_height, src_width = src.shape
+    if crop_width is None:
+        crop_width = float(src_width)
+    if crop_height is None:
+        crop_height = float(src_height)
+    lut = build_lut(radius, blur)
+    samples = LUT_SIZE
+
+    filter_step_x = min(float(dst_width) / crop_width, 1.0)
+    filter_step_y = min(float(dst_height) / crop_height, 1.0)
+    support_x = f32(radius / filter_step_x)
+    support_y = f32(radius / filter_step_y)
+    filter_size = max(
+        int(np.ceil(f64(support_x) * 2.0)), int(np.ceil(f64(support_y) * 2.0))
+    )
+    x_step = f32(crop_width / dst_width)
+    y_step = f32(crop_height / dst_height)
+    radius2 = f64(radius) * f64(radius)
+
+    def trunc(v) -> int:
+        return int(np.trunc(f64(v)))
+
+    # Serial float32 position recurrences (bit-exact reference semantics).
+    xpos = np.empty(dst_width, dtype=f32)
+    p = f32(crop_left + (crop_width / dst_width - 1.0) / 2.0)
+    for x in range(dst_width):
+        xpos[x] = p
+        p = f32(p + x_step)
+    ypos = np.empty(dst_height, dtype=f32)
+    p = f32(crop_top + (crop_height - dst_height) / (dst_height * 2.0))
+    for y in range(dst_height):
+        ypos[y] = p
+        p = f32(p + y_step)
+
+    def axis_meta(pos, support, quantize, src_dim):
+        n = len(pos)
+        end = np.empty(n, dtype=np.int64)
+        border = np.zeros(n, dtype=bool)
+        qval = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            e = trunc(f32(pos[i] + support))
+            if e >= src_dim:
+                e = src_dim - 1
+                border[i] = True
+            b = e - filter_size + 1
+            if b < 0:
+                b = 0
+                border[i] = True
+            end[i] = b  # store window BEGIN
+            qi = trunc(f32(pos[i] * f32(quantize)))
+            qval[i] = int(np.fmod(qi, quantize))
+        return end, border, qval
+
+    beg_x, bor_x, qv_x = axis_meta(xpos, support_x, quantize_x, src_width)
+    beg_y, bor_y, qv_y = axis_meta(ypos, support_y, quantize_y, src_height)
+
+    def first_idx(border, qv, cls):
+        hits = np.flatnonzero((~border) & (qv == cls))
+        return int(hits[0])
+
+    def compute_block(y, x, is_border):
+        # Identical math to reference_resize_plane's block branch.
+        px_, py_ = xpos[x], ypos[y]
+        wbx, wby = int(beg_x[x]), int(beg_y[y])
+        if not is_border:
+            qx_int = trunc(f32(px_ * f32(quantize_x)))
+            qy_int = trunc(f32(py_ * f32(quantize_y)))
+            q_xpos = f32(f32(qx_int) / f32(quantize_x))
+            q_ypos = f32(f32(qy_int) / f32(quantize_y))
+            wbx = trunc(f32(q_xpos + support_x)) - filter_size + 1
+            wby = trunc(f32(q_ypos + support_y)) - filter_size + 1
+            px_, py_ = q_xpos, q_ypos
+        px_ = min(max(px_, f32(0.0)), f32(src_width - 1))
+        py_ = min(max(py_, f32(0.0)), f32(src_height - 1))
+        block = np.zeros((filter_size, filter_size), dtype=f32)
+        divider = f32(0.0)
+        for ly in range(filter_size):
+            for lx in range(filter_size):
+                dx = f64(f32(px_ - f32(wbx + lx))) * f64(filter_step_x)
+                dy = f64(f32(py_ - f32(wby + ly))) * f64(filter_step_y)
+                val = (f64(samples - 1) * (dx * dx + dy * dy)) / radius2
+                index = int(np.rint(val))
+                factor = f32(lut[index]) if index < len(lut) else f32(0.0)
+                block[ly, lx] = factor
+                divider = f32(divider + factor)
+        return (block / divider).astype(f32)
+
+    src_f = src.astype(f32)
+    n = len(ys)
+    vals = np.empty(n, dtype=f32)
+    blocks = np.empty((n, filter_size, filter_size), dtype=f32)
+    sx_out = np.empty(n, dtype=np.int64)
+    sy_out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        y, x = int(ys[i]), int(xs[i])
+        is_border = bool(bor_x[x] or bor_y[y])
+        if is_border:
+            block = compute_block(y, x, True)
+        else:
+            # Memoized block: computed at the key's first occurrence.
+            block = compute_block(
+                first_idx(bor_y, qv_y, qv_y[y]), first_idx(bor_x, qv_x, qv_x[x]), False
+            )
+        blocks[i] = block
+        sy_out[i], sx_out[i] = beg_y[y], beg_x[x]
+        acc = f32(0.0)
+        for ly in range(filter_size):
+            sy = min(int(beg_y[y]) + ly, src_height - 1)
+            for lx in range(filter_size):
+                sx = min(int(beg_x[x]) + lx, src_width - 1)
+                acc = f32(acc + f32(src_f[sy, sx] * block[ly, lx]))
+        vals[i] = acc
+    return vals, blocks, sy_out, sx_out
+
+
+# ---------------------------------------------------------------------------
 # Scalar end-to-end oracle (tiny configs only).
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,254 @@
+"""General-geometry gather kernel: per-row class planes, banded source DMA.
+
+The phase-conv fast path (kernels/pallas_fused.py) requires periodic geometry;
+float32 position drift makes most non-integer scale ratios aperiodic (a 1.5x
+upscale already fragments into a 15x44 class dictionary). The reference's SIMD
+kernels are geometry-agnostic (/root/reference/src/resize_plane_avx512.cpp:9-135
+— one gather-MAC loop regardless of periodicity); this kernel is the TPU
+equivalent: it runs ANY (class, window-start) sequence at near-bandwidth speed,
+replacing the XLA gather fallback that materializes per-tap-row patch and
+weight tensors (~24 ms/frame at 1080p->4K tap8; this kernel ~2-3 ms).
+
+Structure per destination-row band b, column tile t, frame f (3-D grid):
+
+  * weights: the interior dictionary ``pair_blocks[n_uy, n_ux, fs, fs]`` is
+    expanded along x ONCE on the host into ``Wx[n_uy, fs*fs, nxi]``
+    (Wx[c, ly*fs+lx, x] = pair_blocks[c, cx_idx[x], ly, lx]) and shipped to
+    HBM. Each of the band's TM rows pulls its row-class plane slice
+    ``Wx[cy[row], :, tile]`` via a scalar-prefetched block index — the Pallas
+    pipeline DMAs class planes directly, nothing per-pixel is materialized.
+    Frames iterate in the innermost grid dimension, so the weight DMA is
+    amortized over the whole frame batch (the index map is frame-invariant
+    and Pallas skips the re-fetch).
+  * source: a compact horizontal im2col ``P[f, h, lx, x] = src[f, h,
+    start_x[x] + lx]`` is built by ONE XLA gather (fs x src bytes, vs the
+    fs^2 x expansion the XLA fallback streams); the kernel reads the band of
+    P rows covering the band's vertical windows at an element offset taken
+    from a prefetched per-band origin.
+  * compute: pure VPU fp32 — for each row m and vertical tap ly,
+    ``acc += P[sy_loc[m]+ly] * W_m[ly*fs:(ly+1)*fs]`` over (fs, TN) blocks,
+    one sublane reduction per row. fp32 adds/muls throughout: this path is
+    bit-independent of MXU precision modes (full parity like the reference's
+    C kernel, up to accumulation order — same tolerance class as its own
+    SIMD paths, JincResize.cpp:536-601).
+
+Borders and the canvas are handled by the caller (apply_gather.py) with the
+same strip machinery as the conv path; this kernel computes the interior
+rectangle only.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..operator import PlaneOperator
+
+f32 = jnp.float32
+
+SUB = 8
+LANE = 128
+VMEM_BUDGET = 12 * 1024 * 1024
+
+_TN_ENV = os.environ.get("JINCRESIZE_GATHER_TN")
+_TM_ENV = os.environ.get("JINCRESIZE_GATHER_TM")
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _choose_tiles(op: PlaneOperator) -> tuple[int, int, int] | None:
+    """Pick (TM rows/band, TN cols/tile, BH P-band rows) within VMEM.
+
+    VMEM per step: TM weight planes (fs2p x TN, double-buffered) + the P band
+    (BH x fs x TN, double-buffered) + the out tile. Larger TM amortizes the
+    P band over more rows (the band advances TM*step_y source rows but spans
+    ~fs + TM*step_y), so TM is pushed as high as the weight planes allow.
+    """
+    fs = op.filter_size
+    fs2p = _round_up(fs * fs, SUB)
+    nyi = op.y_hi - op.y_lo
+    if nyi < 1 or op.x_hi <= op.x_lo:
+        return None
+    sy = op.start_y[op.y_lo : op.y_hi].astype(np.int64)
+    tn = int(_TN_ENV) if _TN_ENV else 256
+    best = None
+    for tm in (32, 24, 16, 12, 8, 4):
+        if tm > nyi and tm > 4:
+            continue
+        # Band height: max window span over any TM-row band + slack.
+        spans = []
+        for b0 in range(0, nyi, tm):
+            seg = sy[b0 : b0 + tm]
+            spans.append(int(seg.max() - seg.min()) + fs)
+        bh = _round_up(max(spans), SUB)
+        w_bytes = 2 * tm * fs2p * tn * 4
+        p_bytes = 2 * bh * _round_up(fs, SUB) * tn * 4
+        o_bytes = 2 * tm * tn * 4
+        if w_bytes + p_bytes + o_bytes <= VMEM_BUDGET:
+            best = (tm, tn, bh)
+            break
+    if best is None:
+        return None
+    if _TM_ENV:
+        tm = int(_TM_ENV)
+        seg_spans = [
+            int(sy[b0 : b0 + tm].max() - sy[b0 : b0 + tm].min()) + fs
+            for b0 in range(0, nyi, tm)
+        ]
+        best = (tm, tn, _round_up(max(seg_spans), SUB))
+    return best
+
+
+def is_supported(op: PlaneOperator) -> bool:
+    """Envelope: interior present, dictionary non-empty, tiles fit VMEM."""
+    if op.pair_blocks.size == 0:
+        return False
+    if op.filter_size * op.filter_size > 1200:
+        return False
+    return _choose_tiles(op) is not None
+
+
+def _gather_kernel(
+    syloc_ref,  # (nyi_pad,) int32 — window start relative to band origin
+    cy_ref,  # (nyi_pad,) int32 — row class (consumed by the W index maps)
+    y0_ref,  # (nbands,) int32 — band origin row of P (element offset)
+    *refs,
+    tm: int,
+    fs: int,
+):
+    """One grid step: TM interior rows x TN columns for one frame."""
+    del cy_ref, y0_ref  # used only by the index maps
+    w_refs = refs[:tm]
+    p_ref = refs[tm]
+    out_ref = refs[tm + 1]
+    b = pl.program_id(0)
+    for m in range(tm):
+        idx = syloc_ref[b * tm + m]
+        acc = jnp.zeros((fs, out_ref.shape[2]), dtype=f32)
+        for ly in range(fs):
+            ps = p_ref[0, idx + ly, :, :]  # (fs, TN) horizontal taps
+            ws = w_refs[m][0, ly * fs : (ly + 1) * fs, :]  # (fs, TN)
+            acc = acc + ps * ws
+        out_ref[0, m, :] = jnp.sum(acc, axis=0)
+
+
+def make_gather_interior(op: PlaneOperator, interpret: bool = False):
+    """Build fn(src_f32[F, H, W]) -> (F, nyi, nxi) interior accumulator.
+
+    The result belongs at canvas[:, y_lo:y_hi, x_lo:x_hi]. Sources must
+    already be float32 (and float-clamped if requested).
+    """
+    tiles = _choose_tiles(op)
+    if tiles is None:
+        raise ValueError("gather kernel: geometry outside the VMEM envelope")
+    tm, tn, bh = tiles
+    fs = op.filter_size
+    fs2p = _round_up(fs * fs, SUB)
+    nyi = op.y_hi - op.y_lo
+    nxi = op.x_hi - op.x_lo
+    nb = -(-nyi // tm)
+    nt = -(-nxi // tn)
+    nyi_pad = nb * tm
+    nxi_pad = nt * tn
+
+    # Expand the dictionary along x (class plane per row class):
+    # Wx[c, ly*fs+lx, x] = pair_blocks[c, cx_idx[x_lo+x], ly, lx].
+    # The expansion runs ON DEVICE (one XLA gather over the shipped
+    # dictionary): the expanded table is n_ux-fold larger than the
+    # dictionary, and host->device uploads through the axon tunnel are the
+    # slowest link in the system (memory: 33MB took 0.5-534s).
+    cxi = op.cx_idx[op.x_lo : op.x_hi].astype(np.int32)
+    n_uy = op.pair_blocks.shape[0]
+    wt = jnp.asarray(
+        np.ascontiguousarray(np.transpose(op.pair_blocks, (0, 2, 3, 1))).reshape(
+            n_uy, fs * fs, -1
+        )
+    )  # (n_uy, fs*fs, n_ux) — the only weight upload
+    wx_dev = jax.jit(
+        lambda t: jnp.pad(
+            t[:, :, jnp.asarray(cxi)],
+            ((0, 0), (0, fs2p - fs * fs), (0, nxi_pad - nxi)),
+        )
+    )(wt)
+
+    # Host: band origins + per-row local starts and classes (padded rows
+    # clamp to the last real row: they compute garbage that is sliced off).
+    sy = op.start_y[op.y_lo : op.y_hi].astype(np.int64)
+    sy_pad = np.concatenate([sy, np.full(nyi_pad - nyi, sy[-1])])
+    cy = op.cy_idx[op.y_lo : op.y_hi].astype(np.int64)
+    cy_pad = np.concatenate([cy, np.full(nyi_pad - nyi, cy[-1])])
+    y0 = np.zeros(nb, dtype=np.int64)
+    for b in range(nb):
+        y0[b] = sy_pad[b * tm : (b + 1) * tm].min()
+    syloc = sy_pad - np.repeat(y0, tm)
+    assert int((syloc + fs).max()) <= bh, "band height underestimates span"
+    hp_need = int(y0.max()) + bh  # P rows the last band may touch
+
+    syloc_j = jnp.asarray(syloc.astype(np.int32))
+    cy_j = jnp.asarray(cy_pad.astype(np.int32))
+    y0_j = jnp.asarray(y0.astype(np.int32))
+
+    cols = np.clip(
+        op.start_x[op.x_lo : op.x_hi, None].astype(np.int64)
+        + np.arange(fs, dtype=np.int64)[None, :],
+        0,
+        op.src_width - 1,
+    ).astype(
+        np.int32
+    )  # (nxi, fs)
+    colsT = jnp.asarray(np.ascontiguousarray(cols.T))  # (fs, nxi)
+
+    def w_spec(k):
+        return pl.BlockSpec(
+            (1, fs2p, tn),
+            lambda b, t, f, syloc_r, cy_r, y0_r, k=k: (cy_r[b * tm + k], 0, t),
+        )
+
+    p_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(bh), pl.Element(fs), pl.Element(tn)),
+        lambda b, t, f, syloc_r, cy_r, y0_r: (f, y0_r[b], 0, t * tn),
+    )
+    out_spec = pl.BlockSpec(
+        (1, tm, tn), lambda b, t, f, syloc_r, cy_r, y0_r: (f, b, t)
+    )
+
+    kern = functools.partial(_gather_kernel, tm=tm, fs=fs)
+
+    def fn(src_f):
+        F, H, W_ = src_f.shape
+        # Horizontal im2col: one XLA gather, fs x src bytes.
+        P = src_f[:, :, colsT]  # (F, H, fs, nxi)
+        pad_h = max(0, hp_need - H)
+        pad_x = nxi_pad - nxi
+        if pad_h or pad_x:
+            P = jnp.pad(P, ((0, 0), (0, pad_h), (0, 0), (0, pad_x)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb, nt, F),
+            in_specs=[w_spec(k) for k in range(tm)] + [p_spec],
+            out_specs=out_spec,
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((F, nyi_pad, nxi_pad), f32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(syloc_j, cy_j, y0_j, *([wx_dev] * tm), P)
+        return out[:, :nyi, :nxi]
+
+    fn.tile_info = {
+        "tm": tm,
+        "tn": tn,
+        "bh": bh,
+        "grid": (nb, nt),
+        "wx_bytes": int(n_uy * fs2p * nxi_pad * 4),
+    }
+    return fn

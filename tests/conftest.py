@@ -14,3 +14,10 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Isolate the operator disk cache per test session: JincResizer now caches
+# built operators by default (api operator_cache=True), and tests must not
+# share entries with the user's real cache or with previous sessions.
+import tempfile  # noqa: E402
+
+os.environ["JINCRESIZE_CACHE_DIR"] = tempfile.mkdtemp(prefix="jincresize_test_cache_")

@@ -92,13 +92,13 @@ def test_batch_conv():
 
 
 def test_pallas_interior_interpret():
-    """Pallas phase kernel (interpret mode on CPU) matches the golden."""
+    """Fused Pallas kernel (interpret mode on CPU) matches the golden."""
     import jax.numpy as jnp
 
     from jincresize_tpu.apply_conv import ConvApplier
 
     op = build_plane_operator(64, 48, 128, 96, radius_for_tap(3))
-    ap = ConvApplier(op, interior="pallas")
+    ap = ConvApplier(op, interior="fused")
     rng = np.random.default_rng(7)
     src = rng.random((48, 64), dtype=np.float32)
     a = np.asarray(ap(jnp.asarray(src)))
@@ -118,7 +118,8 @@ def test_api_auto_uses_conv():
     clip = Clip.from_frames([random_frame(yuv420p(8), 64, 48, seed=5)])
     cfg = JincConfig(target_width=128, target_height=96, impl="auto")
     r = JincResizer(clip.format, 64, 48, cfg, frame0=clip.frames[0])
-    assert r._conv_luma is not None
+    assert r._applier_luma is not None
+    assert r.engines["luma"] in ("fused", "shift")
     out = r.process_frame(clip.frames[0])
     ref = JincResizer(
         clip.format,

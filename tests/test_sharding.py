@@ -135,3 +135,62 @@ def test_sharded_conv_data_axis(mesh_2x4):
     out = np.asarray(fn(src))
     ref = np.stack([apply_plane_numpy(op, s) for s in src])
     assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_sharded_applier_u8_u16_batched(mesh_2x4):
+    """Productized sharded path: in-jit finalize, u8/u16 parity, batched
+    frames over the data axis, interior observability (VERDICT r2 item 3)."""
+    from jincresize_tpu.sharding import ShardedApplier
+
+    op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
+    ap = ShardedApplier(op, mesh_2x4)
+    assert ap.interior in ("conv-fused", "conv-shift", "gather")
+    rng = np.random.default_rng(5)
+    # u8, batch of 3 (not divisible by the data axis of 2 -> pad path).
+    src8 = rng.integers(0, 256, (3, 72, 96)).astype(np.uint8)
+    out8 = np.asarray(ap(np.asarray(src8), out_dtype=np.uint8, peak=255.0))
+    ref8 = np.stack(
+        [apply_plane_numpy(op, s, out_dtype=np.uint8, peak=255) for s in src8]
+    )
+    assert out8.dtype == np.uint8
+    assert np.abs(out8.astype(int) - ref8.astype(int)).max() <= 1
+    # u16 single frame.
+    src16 = rng.integers(0, 65536, (72, 96)).astype(np.uint16)
+    out16 = np.asarray(ap(np.asarray(src16), out_dtype=np.uint16, peak=65535.0))
+    ref16 = apply_plane_numpy(op, src16, out_dtype=np.uint16, peak=65535)
+    assert np.abs(out16.astype(int) - ref16.astype(int)).max() <= 1
+
+
+def test_sharded_applier_float_clamp(mesh8):
+    """float_clamp_min applies inside the sharded jit (SIMD clamp parity)."""
+    from jincresize_tpu.sharding import ShardedApplier
+
+    op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
+    ap = ShardedApplier(op, mesh8)
+    rng = np.random.default_rng(6)
+    src = (rng.random((72, 96), dtype=np.float32) - 0.5) * 2.0
+    out = np.asarray(ap(np.asarray(src), float_clamp_min=0.0))
+    ref = apply_plane_numpy(op, src, float_clamp_min=0.0)
+    assert np.abs(out - ref).max() <= 1e-6
+
+
+def test_api_impl_sharded(mesh8):
+    """impl='sharded' end-to-end through JincResizer on the CPU mesh."""
+    from jincresize_tpu.api import JincConfig, JincResizer
+    from jincresize_tpu.clip import Clip, random_frame, yuv420p
+
+    clip = Clip.from_frames(
+        [random_frame(yuv420p(8), 96, 72, seed=s) for s in (1, 2)]
+    )
+    cfg = JincConfig(target_width=160, target_height=120, impl="sharded")
+    r = JincResizer(clip.format, 96, 72, cfg, frame0=clip.frames[0], mesh=mesh8)
+    assert r.engines["luma"].startswith("sharded/")
+    out = r(clip)
+    ref_cfg = JincConfig(target_width=160, target_height=120, impl="numpy")
+    rr = JincResizer(clip.format, 96, 72, ref_cfg, frame0=clip.frames[0])
+    ref = rr(clip)
+    for i in range(2):
+        for n in clip.format.plane_names:
+            a = out.frames[i].planes[n].astype(int)
+            b = ref.frames[i].planes[n].astype(int)
+            assert np.abs(a - b).max() <= 1, (i, n)
