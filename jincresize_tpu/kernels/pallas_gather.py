@@ -5,9 +5,12 @@ float32 position drift makes most non-integer scale ratios aperiodic (a 1.5x
 upscale already fragments into a 15x44 class dictionary). The reference's SIMD
 kernels are geometry-agnostic (/root/reference/src/resize_plane_avx512.cpp:9-135
 — one gather-MAC loop regardless of periodicity); this kernel is the TPU
-equivalent: it runs ANY (class, window-start) sequence at near-bandwidth speed,
-replacing the XLA gather fallback that materializes per-tap-row patch and
-weight tensors (~24 ms/frame at 1080p->4K tap8; this kernel ~2-3 ms).
+equivalent: it runs ANY (class, window-start) sequence, replacing the XLA
+gather fallback that materializes per-tap-row patch and weight tensors
+(~24 ms/frame at 1080p->4K tap8; this kernel 16 ms measured on v5e — it is
+VPU-bound: fs^2 = 289 fp32 MACs/px with per-pixel weights cannot use the MXU.
+Piecewise-periodic geometries should prefer kernels/pallas_band.py, which
+gets the same MACs onto the MXU; this kernel is the fully-general fallback).
 
 Structure per destination-row band b, column tile t, frame f (3-D grid):
 

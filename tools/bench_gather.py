@@ -1,0 +1,103 @@
+"""On-device benchmark of the general-geometry gather engine.
+
+Measures the aperiodic 1080p->4K tap8 case from VERDICT r2 (the one regime
+where the rebuild could lose to the reference's AVX-512 socket): XLA gather
+fallback was 24 ms/frame; target for kernels/pallas_gather.py is <= 3 ms.
+
+Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--impl", default="gather", choices=["gather", "xla"])
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from jincresize_tpu.cache import cached_build
+    from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+    from jincresize_tpu.phase import plan_phases
+
+    sw, sh, dw, dh = 1920, 1080, 3840, 2160
+    t0 = time.time()
+    # src_left=0.3 makes the geometry aperiodic (position drift fragments the
+    # class dictionary) — same regime as ROADMAP item 12's 24 ms measurement.
+    op = cached_build(
+        build_plane_operator,
+        src_width=sw,
+        src_height=sh,
+        dst_width=dw,
+        dst_height=dh,
+        radius=radius_for_tap(8),
+        crop_left=0.3,
+        crop_top=0.3,
+    )
+    print(
+        f"# built in {time.time()-t0:.1f}s: {op.stats()} "
+        f"periodic={plan_phases(op) is not None}",
+        file=sys.stderr,
+    )
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
+
+    if args.impl == "gather":
+        from jincresize_tpu.apply_gather import GatherApplier
+
+        app = GatherApplier(op)
+        print(f"# tiles: {app.tile_info}", file=sys.stderr)
+        fn = app
+    else:
+        from jincresize_tpu import apply_xla
+
+        dop = apply_xla.to_device(op)
+        fn = jax.jit(lambda s: apply_xla.resize_plane_batch(dop, s))
+
+    def run(x):
+        return float(jnp.sum(fn(x)))
+
+    t0 = time.time()
+    run(src)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    R = 4
+
+    @jax.jit
+    def looped(s):
+        def it(i, acc):
+            return acc + jnp.sum(fn(s + i * jnp.float32(1e-9)))
+
+        return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+
+    float(looped(src))
+    t0 = time.time()
+    for _ in range(args.iters):
+        float(looped(src))
+    dt = (time.time() - t0) / (args.iters * R * args.frames)
+    print(
+        f"impl={args.impl} frames={args.frames}: {dt*1e3:.2f} ms/frame "
+        f"({dw*dh/dt/1e9:.2f} Gpx/s device)"
+    )
+
+
+if __name__ == "__main__":
+    main()
