@@ -107,3 +107,88 @@ def test_cli_validation_error(tmp_path):
     )
     assert r.returncode == 2
     assert "tap must be between 1..16" in r.stderr
+
+
+def _run_cli(args):
+    import os
+
+    return subprocess.run(
+        [sys.executable, "-m", "jincresize_tpu", *args],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
+def test_cli_clip_npz_roundtrip(tmp_path):
+    """Multi-frame npz clip: 3-D (F, h, w) planes, one batched dispatch."""
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 256, (3, 24, 32)).astype(np.uint8)
+    u = rng.integers(0, 256, (3, 12, 16)).astype(np.uint8)
+    v = rng.integers(0, 256, (3, 12, 16)).astype(np.uint8)
+    inp, outp = tmp_path / "in.npz", tmp_path / "out.npz"
+    np.savez(inp, Y=y, U=u, V=v, _props=np.array(json.dumps({"_ChromaLocation": 0})))
+    r = _run_cli(
+        [str(inp), str(outp), "--width", "48", "--height", "36", "--impl", "numpy"]
+    )
+    assert r.returncode == 0, r.stderr
+    z = np.load(outp)
+    assert z["Y"].shape == (3, 36, 48) and z["U"].shape == (3, 18, 24)
+    assert "engines: luma=numpy" in r.stdout
+
+
+def test_cli_clip_npy_gray(tmp_path):
+    """--clip treats a 3-D npy as (F, H, W) GRAY frames."""
+    src = np.random.default_rng(2).integers(0, 256, (2, 24, 32)).astype(np.uint8)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, src)
+    r = _run_cli(
+        [str(inp), str(outp), "--width", "40", "--height", "30", "--clip",
+         "--impl", "numpy"]
+    )
+    assert r.returncode == 0, r.stderr
+    out = np.load(outp)
+    assert out.shape == (2, 30, 40) and out.dtype == np.uint8
+
+
+def test_cli_chain(tmp_path):
+    """--chain runs stages as one composed operator pass; parity vs library."""
+    src = np.random.default_rng(3).integers(0, 256, (20, 28)).astype(np.uint8)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, src)
+    chain = json.dumps(
+        [
+            {"target_width": 42, "target_height": 30},
+            {"target_width": 56, "target_height": 40},
+        ]
+    )
+    r = _run_cli([str(inp), str(outp), "--chain", chain, "--impl", "numpy"])
+    assert r.returncode == 0, r.stderr
+    out = np.load(outp)
+    assert out.shape == (40, 56)
+    from jincresize_tpu.api import jinc_resize_chain
+    from jincresize_tpu.clip import Clip, Frame, gray
+
+    clip = Clip.from_frames([Frame(format=gray(8), planes={"Y": src})])
+    ref = jinc_resize_chain(
+        clip,
+        [
+            {"target_width": 42, "target_height": 30, "impl": "numpy"},
+            {"target_width": 56, "target_height": 40, "impl": "numpy"},
+        ],
+    )
+    np.testing.assert_array_equal(out, ref.frames[0].planes["Y"])
+
+
+def test_cli_precision_and_float_clamp_flags(tmp_path):
+    """--precision / --float-clamp are plumbed through without error."""
+    src = np.random.default_rng(4).random((24, 32), dtype=np.float32)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, src)
+    r = _run_cli(
+        [str(inp), str(outp), "--width", "48", "--height", "36",
+         "--impl", "numpy", "--precision", "bf16", "--float-clamp", "off",
+         "--time"]
+    )
+    assert r.returncode == 0, r.stderr
+    assert np.load(outp).shape == (36, 48)
