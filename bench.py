@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument(
+        "--downscale",
+        action="store_true",
+        help="bench the 4K->1080p downscale (qx>1: exercises the residue "
+        "deinterleave and the inflated-support kernels; VERDICT r2 item 4)",
+    )
+    ap.add_argument(
         "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
     )
     ap.add_argument(
@@ -61,7 +67,15 @@ def main():
     from jincresize_tpu import apply_xla
     from jincresize_tpu.operator import build_plane_operator, radius_for_tap
 
-    if args.small:
+    if args.downscale:
+        # Downscale: support inflates by the scale ratio (fs 17 -> 33 at
+        # 0.5x), qx=2 residue planes; frames default sized for upscale HBM
+        # budgets are fine here (dst is 4x smaller).
+        if args.small:
+            sw, sh, dw, dh = 1920, 1080, 960, 540
+        else:
+            sw, sh, dw, dh = 3840, 2160, 1920, 1080
+    elif args.small:
         sw, sh, dw, dh = 960, 540, 1920, 1080
     else:
         sw, sh, dw, dh = 3840, 2160, 7680, 4320
@@ -167,6 +181,29 @@ def main():
         file=sys.stderr,
     )
 
+    if args.downscale:
+        # Per-socket-equivalent bar at THIS geometry's padded MAC cost
+        # (the reference's per-px work inflates with the support; same
+        # 1.54 TMAC/s analytic socket as BASELINE_PX_PER_S).
+        fs = op.filter_size
+        stride = (fs + 15) & ~15
+        base = 1.54e12 / (fs * stride)
+        metric = (
+            "jinc256_4k_to_1080p_fp32_px_per_s_per_chip"
+            if not args.small
+            else "jinc256_1080p_to_540p_fp32_px_per_s_per_chip"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": px_per_s,
+                    "unit": "px/s",
+                    "vs_baseline": px_per_s / base,
+                }
+            )
+        )
+        return
     scale = 1.0 if not args.small else 0.25  # report vs the 8K bar regardless
     print(
         json.dumps(

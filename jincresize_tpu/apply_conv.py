@@ -375,8 +375,18 @@ class ConvApplier:
                 ((st.y0, st.y1, st.x0, st.x1), _strip_values(dop, s, st))
                 for st in dop.strips
             ]
+        self._strips_kfn_spec = None
         if interior == "fused":
             self._setup_strip_kernel(op, plan, backend)
+        # Shared residue deinterleave: only when BOTH Pallas kernels are
+        # active (the strips closure accepts the residue kwarg then).
+        self._shared_residue = None
+        ispec = getattr(self._interior_fn, "residue_spec", None)
+        if ispec is not None and self._strips_kfn_spec is not None:
+            qx_i, wq_i, ey_i = ispec
+            qx_s, wq_s, ey_s = self._strips_kfn_spec
+            assert qx_i == qx_s  # same plan -> same column quantum
+            self._shared_residue = (qx_i, max(wq_i, wq_s), max(ey_i, ey_s))
         # Border-frame classification: when the strips exactly frame the
         # interior block, the canvas is assembled with one concatenate
         # (single output write) instead of zeros + paste + per-strip
@@ -462,9 +472,11 @@ class ConvApplier:
         patch_by_rows = {(p[0], p[1]): p for p in patch_data}
         dst_w = op.dst_width
 
-        def strip_blocks(dop, src_f):
+        self._strips_kfn_spec = getattr(kfn, "residue_spec", None)
+
+        def strip_blocks(dop, src_f, residue=None):
             blocks = []
-            out = kfn(src_f)
+            out = kfn(src_f, residue=residue)
             for si, (y0, y1) in enumerate(rows_meta):
                 vals = jax.lax.slice(
                     out, (si * ny_p, 0), (si * ny_p + (y1 - y0), width_k)
@@ -517,8 +529,18 @@ class ConvApplier:
         paste-then-overwrite order)."""
         dop = cop.dop
         ylo, xlo, yhi, xhi, H, W = self._concat
-        block = self._interior_fn(src_f)
-        by_rect = dict(self._strip_blocks_fn(dop, src_f))
+        if self._shared_residue is not None:
+            # One deinterleave feeds both Pallas kernels (ROADMAP 6): built
+            # at the max (wq, ext_y) of the interior and strips specs.
+            from .kernels.pallas_fused import residue_planes
+
+            qx_r, wq_r, ey_r = self._shared_residue
+            residue = residue_planes(src_f, qx_r, wq_r, ey_r)
+            block = self._interior_fn(src_f, residue=residue)
+            by_rect = dict(self._strip_blocks_fn(dop, src_f, residue=residue))
+        else:
+            block = self._interior_fn(src_f)
+            by_rect = dict(self._strip_blocks_fn(dop, src_f))
         mid = [
             by_rect.pop((ylo, yhi, 0, xlo), None),
             block,

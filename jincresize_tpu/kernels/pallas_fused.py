@@ -85,6 +85,28 @@ def _vmem_bytes(
     return 2 * (band + outb) + wb + scratch
 
 
+def residue_planes(src_f, qx: int, wq: int, ext_y: int):
+    """Deinterleave a source plane into qx column-residue planes.
+
+    Returns (qx, Hp, wq) with planes[c, h, w] = src[h, w*qx + c] (zero-padded
+    to Hp >= ext_y rows and qx*wq columns). The content of plane c at column
+    w is independent of wq, so one tensor built at the max (wq, ext_y) of
+    several kernels serves them all (their BlockSpecs read inside their own
+    (hb, wq) extents) — ROADMAP 6: on qx>1 downscales the fused interior and
+    the strips kernel each cost a full-plane pass here if built separately
+    (XLA cannot CSE the two different-wq reshapes).
+    """
+    H, W_ = src_f.shape
+    pad_h = max(0, ext_y - H)
+    pad_w = max(0, qx * wq - W_)
+    if pad_h or pad_w:
+        src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
+    if src_f.shape[1] > qx * wq:
+        # qx*wq bounds every kernel read; crop for a shape-valid reshape.
+        src_f = src_f[:, : qx * wq]
+    return src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
+
+
 def _choose_tmb(
     fs: int,
     py: int,
@@ -406,19 +428,17 @@ def make_fused_interior(
         interpret=interpret,
     )
 
-    def fn(src_f):
-        H, W_ = src_f.shape
-        pad_h = max(0, ext_y - H)
-        pad_w = max(0, qx * wq - W_)
-        if pad_h or pad_w:
-            src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
-        if src_f.shape[1] > qx * wq:
-            # Source wider than the interior's read coverage (qx*wq >= ext_x
-            # bounds every read): crop so the residue reshape is shape-valid.
-            src_f = src_f[:, : qx * wq]
-        planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
-        out = call(w_dev, planes)
+    def fn(src_f, residue=None):
+        # ``residue``: optional pre-built residue planes (qx, Hp, wqs) with
+        # Hp >= ext_y and wqs >= wq (ROADMAP 6 shared deinterleave — the
+        # strips kernel needs the same planes at a different width; block
+        # reads stay inside (hb, wq) so a wider shared array is drop-in).
+        if residue is None:
+            residue = residue_planes(src_f, qx, wq, ext_y)
+        out = call(w_dev, residue)
         return out[: py * nyb, : px * nxb]
+
+    fn.residue_spec = (qx, wq, ext_y)
 
     fn.tile_info = {  # introspection for tests/bench
         "tmb": tmb,

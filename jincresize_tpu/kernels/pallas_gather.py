@@ -127,7 +127,22 @@ def _gather_kernel(
     tm: int,
     fs: int,
 ):
-    """One grid step: TM interior rows x TN columns for one frame."""
+    """One grid step: TM interior rows x TN columns for one frame.
+
+    Single accumulator chain per row, deliberately: measured r3 ILP
+    experiments on v5e (1080p->4K tap8, 8 frames) —
+      * 4 accumulator chains per row (ly%4 split): 17.9 ms/frame vs 16.4
+        single-chain, and Mosaic compile 593 s vs 130 s (register-pressure
+        blowup). The kernel is VMEM-load-bound, not latency-chain-bound.
+      * tile shape is not the limit either: (tm=8, tn=512) 16.9 ms,
+        (tm=16, tn=256) 16.4 ms; tm=32 variants crash the remote compile
+        helper (230 MB unrolled MLIR).
+      * the host-side P im2col gather is 1.85 ms/frame of the 16.4 total;
+        the remaining ~14.5 ms is this kernel at ~3 vreg-ops per vreg-FMA
+        (load ps + load ws + FMA, 41% sublane padding at fs=17) — ~60% of
+        the structural VPU floor (~10 ms). Per-pixel weights make both
+        loads mandatory; only the MXU-path conv formulation escapes this,
+        which is why impl='auto' prefers it for every periodic geometry."""
     del cy_ref, y0_ref  # used only by the index maps
     w_refs = refs[:tm]
     p_ref = refs[tm]

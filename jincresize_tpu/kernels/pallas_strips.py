@@ -276,18 +276,17 @@ def make_strips_interior(
         interpret=interpret,
     )
 
-    def fn(src_f):
-        H, W_ = src_f.shape
-        pad_h = max(0, ext_y - H)
-        pad_w = max(0, qx * wq - W_)
-        if pad_h or pad_w:
-            src_f = jnp.pad(src_f, ((0, pad_h), (0, pad_w)))
-        if src_f.shape[1] > qx * wq:
-            # qx*wq bounds every strip read; crop for a shape-valid reshape.
-            src_f = src_f[:, : qx * wq]
-        planes = src_f.reshape(src_f.shape[0], wq, qx).transpose(2, 0, 1)
-        out = call(w_dev, *([planes] * n_strips))
+    def fn(src_f, residue=None):
+        # ``residue``: optional shared pre-built residue planes (qx, Hp, wqs)
+        # with Hp >= ext_y, wqs >= wq (see pallas_fused.residue_planes).
+        if residue is None:
+            from .pallas_fused import residue_planes
+
+            residue = residue_planes(src_f, qx, wq, ext_y)
+        out = call(w_dev, *([residue] * n_strips))
         return out[:, : px * nxb]
+
+    fn.residue_spec = (qx, wq, ext_y)
 
     patches = []
     for si, (s, _a, exc, _cy) in enumerate(entries):
