@@ -1,8 +1,15 @@
 """On-device benchmark of the general-geometry gather engine.
 
-Measures the aperiodic 1080p->4K tap8 case from VERDICT r2 (the one regime
-where the rebuild could lose to the reference's AVX-512 socket): XLA gather
-fallback was 24 ms/frame; target for kernels/pallas_gather.py is <= 3 ms.
+Measures the 1080p->4K tap8 case from VERDICT r2 (the one regime where the
+rebuild could lose to the reference's AVX-512 socket): the XLA gather
+fallback was 24 ms/frame; kernels/pallas_gather.py measures 16.4 ms
+(r3; tm/tn tile sweeps and ILP accumulator splits measured no better —
+the kernel is VMEM-load-bound at ~60% of the per-pixel-weight VPU
+structural floor; the remaining levers are recorded in ROADMAP 12 and the
+kernel docstring). Note: 1080p->4K is exactly 2x, so this op is actually
+periodic (impl='auto' runs it on the conv path at 1.7 ms); --impl gather
+forces the general kernel onto it, which is weight-layout-equivalent to
+the aperiodic case (per-row class planes, no periodicity assumption).
 
 Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla]
 """
