@@ -68,6 +68,15 @@ class JincConfig:
     # bit-parity default (6-pass dots); 'bf16' is a documented non-parity
     # fast mode (1-pass dots, ~1e-3 relative interior error, ~1.7x faster).
     precision: str = "fp32"
+    # Geometry position semantics: 'f32' replicates the reference's serial
+    # float32 position walk bit-for-bit (parity default). 'f64' is the
+    # drift-free mode — positions evaluated directly in float64, so rational
+    # scale ratios stay exactly periodic and ride the MXU conv path instead
+    # of the per-pixel-weight gather kernel (e.g. a 1.5x upscale: the f32
+    # drift fragments it into ~60 quasi-periodic segments; f64 runs it as a
+    # clean p=3 phase conv). Documented non-parity mode: output differs from
+    # the reference wherever drift flipped a quantization class.
+    pos_precision: str = "f32"
     # Disk-cache built operators keyed by geometry (cache.py): repeat
     # constructions of the same geometry skip the host build entirely
     # (SURVEY.md §5 checkpoint/resume — the coefficient table is the only
@@ -132,6 +141,10 @@ def _validate(cfg: JincConfig) -> None:
         raise JincError(f"JincResize: unknown impl {cfg.impl!r}.")
     if cfg.precision not in ("fp32", "bf16"):
         raise JincError(f"JincResize: unknown precision {cfg.precision!r}.")
+    if cfg.pos_precision not in ("f32", "f64"):
+        raise JincError(
+            f"JincResize: unknown pos_precision {cfg.pos_precision!r}."
+        )
 
 
 def _select_engine(op: PlaneOperator, impl: str, precision: str):
@@ -285,6 +298,9 @@ class JincResizer:
             quantize_x=cfg.quant_x,
             quantize_y=cfg.quant_y,
             blur=blur,
+            # None for the parity default keeps pre-existing cache keys valid
+            # (cached_build drops None-valued kwargs from the key).
+            pos_precision=None if cfg.pos_precision == "f32" else cfg.pos_precision,
         )
         # Subsampled chroma operator (out[1]) with chroma-siting shift
         # (JincResize.cpp:830-862).
@@ -316,8 +332,25 @@ class JincResizer:
                 quantize_x=cfg.quant_x,
                 quantize_y=cfg.quant_y,
                 blur=blur,
+                pos_precision=(
+                    None if cfg.pos_precision == "f32" else cfg.pos_precision
+                ),
             )
 
+        # Luma geometry kwargs, kept for the drift hint (below).
+        self._luma_geometry = dict(
+            src_width=width,
+            src_height=height,
+            dst_width=tw,
+            dst_height=th,
+            radius=radius,
+            crop_left=crop_left,
+            crop_top=crop_top,
+            crop_width=crop_width,
+            crop_height=crop_height,
+            quantize_x=cfg.quant_x,
+            quantize_y=cfg.quant_y,
+        )
         self._init_engines(mesh)
 
         # Float-source clamp per plane (SIMD semantics unless opt==0).
@@ -383,6 +416,37 @@ class JincResizer:
             self.engines["luma"] = self._impl
             if self.op_chroma is not None:
                 self.engines["chroma"] = self._impl
+        self._maybe_drift_hint()
+
+    def _maybe_drift_hint(self) -> None:
+        """Log when pos_precision='f64' would lift this request onto the conv
+        path (drift fragmented an otherwise-periodic rational geometry)."""
+        cfg = self.cfg
+        geo = getattr(self, "_luma_geometry", None)
+        if (
+            geo is None
+            or cfg.impl != "auto"
+            or cfg.pos_precision != "f32"
+            or self.engines.get("luma") not in ("gather", "xla")
+        ):
+            return
+        try:
+            from .geometry import build_plane_geometry
+            from .phase import geometry_is_periodic
+
+            g = build_plane_geometry(pos_dtype="f64", **geo)
+            if geometry_is_periodic(g):
+                from .metrics import logger
+
+                logger.info(
+                    "geometry is quasi-periodic: float32 position drift forced "
+                    "the %s path; pos_precision='f64' (documented non-parity "
+                    "mode) would run it on the MXU conv path (~8x faster "
+                    "measured at 1.5x, tools/bench_gather.py).",
+                    self.engines["luma"],
+                )
+        except Exception:  # the hint must never break construction
+            pass
 
     # ------------------------------------------------------------------ plane
     def _plane_op(self, name: str):
@@ -558,6 +622,11 @@ class ChainResizer(JincResizer):
                     "cplace",
                 ):
                     d.pop(k, None)
+                # Parity default stays out of the key so pre-existing chain
+                # cache entries remain valid (mirrors cached_build's
+                # None-dropping for single geometries).
+                if d.get("pos_precision") == "f32":
+                    d.pop("pos_precision")
                 return d
 
             base = dict(

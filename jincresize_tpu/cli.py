@@ -144,6 +144,13 @@ def main(argv=None) -> int:
         help="MXU precision for the fused interior (bf16: documented non-parity fast mode)",
     )
     ap.add_argument(
+        "--pos-precision",
+        default="f32",
+        choices=["f32", "f64"],
+        help="position semantics: f32 = reference-parity drifting walk; "
+        "f64 = drift-free geometry (rational ratios stay on the conv path)",
+    )
+    ap.add_argument(
         "--float-clamp",
         default="auto",
         choices=["auto", "on", "off"],
@@ -188,6 +195,7 @@ def main(argv=None) -> int:
         cplace=args.cplace,
         impl=args.impl,
         precision=args.precision,
+        pos_precision=args.pos_precision,
         operator_cache=not args.no_cache,
     )
     if args.float_clamp != "auto":

@@ -85,14 +85,70 @@ def build_axis_geometry(
     filter_size: int,
     filter_step: float,
     start_pos: f32,
+    pos_dtype: str = "f32",
 ) -> AxisGeometry:
     """Compute all per-coordinate geometry for one axis.
 
     ``filter_support`` is the *shared* float32 support (max over the two axes);
     ``start_pos`` is the float32 initial position (axis-specific formula — see
     ``plane_start_positions``).
+
+    ``pos_dtype='f32'`` (default) replicates the reference's serial float32
+    position walk bit-for-bit, drift included. ``'f64'`` is the drift-free
+    mode: positions are computed directly as ``start + k*step`` in float64, so
+    rational scale ratios yield *exactly* periodic quantization classes and
+    window starts — the phase compiler (phase.py) then maps the geometry onto
+    the MXU conv path instead of the per-pixel-weight gather kernel. This is a
+    documented non-parity mode (outputs differ from the reference wherever its
+    float32 drift flipped a quantization class); there is no analog in the
+    reference, whose gather kernels are insensitive to periodicity.
     """
     n = size_dst
+    if pos_dtype == "f64":
+        # Drift-free: direct f64 evaluation, same formula shapes as below but
+        # without intermediate float32 rounding.
+        step = f64(crop_size) / f64(size_dst)
+        pos = f64(start_pos) + np.arange(n, dtype=f64) * step
+        support = f64(filter_support)
+        end = trunc_to_int(pos + support)
+        border = end >= size_src
+        end = np.where(border, size_src - 1, end)
+        begin = end - filter_size + 1
+        left_border = begin < 0
+        border = border | left_border
+        begin = np.where(left_border, 0, begin)
+
+        q_int = trunc_to_int(pos * f64(quantize))
+        qclass = np.fmod(q_int, quantize)
+        qpos = q_int.astype(f64) / f64(quantize)
+        qbegin = trunc_to_int(qpos + support) - filter_size + 1
+
+        taps = np.arange(filter_size, dtype=np.int64)
+        hi = f64(size_src - 1)
+        pos_cl = np.clip(pos, f64(0.0), hi)
+        qpos_cl = np.clip(qpos, f64(0.0), hi)
+        # Cast to f32 at the end: block computation re-widens to f64 and
+        # multiplies by the f64 filter step either way (operator.py
+        # compute_blocks), so one final rounding keeps the downstream
+        # native/NumPy builders unchanged.
+        dist_raw = (pos_cl[:, None] - (begin[:, None] + taps[None, :])).astype(f32)
+        dist_quant = (qpos_cl[:, None] - (qbegin[:, None] + taps[None, :])).astype(f32)
+        return AxisGeometry(
+            size_src=size_src,
+            size_dst=size_dst,
+            quantize=quantize,
+            filter_step=filter_step,
+            pos=pos,
+            start=begin,
+            border=border,
+            qclass=qclass,
+            qpos=qpos,
+            qbegin=qbegin,
+            dist_raw=dist_raw,
+            dist_quant=dist_quant,
+        )
+    if pos_dtype != "f32":
+        raise ValueError(f"build_axis_geometry: unknown pos_dtype {pos_dtype!r}")
     pos = accumulate_positions(start_pos, f32(crop_size / size_dst), n)
 
     support = f32(filter_support)
@@ -162,6 +218,7 @@ def build_plane_geometry(
     crop_height: float,
     quantize_x: int,
     quantize_y: int,
+    pos_dtype: str = "f32",
 ) -> PlaneGeometry:
     """Derive the shared filter footprint and both axis geometries.
 
@@ -169,6 +226,8 @@ def build_plane_geometry(
     float64 steps, float32 supports, shared max support, shared filter size,
     and the float32 start positions (note the y start divides by
     ``dst_height * 2`` in *double* before the float32 cast).
+    ``pos_dtype`` selects the per-coordinate position semantics — see
+    ``build_axis_geometry``.
     """
     filter_step_x = min(float(dst_width) / crop_width, 1.0)
     filter_step_y = min(float(dst_height) / crop_height, 1.0)
@@ -180,8 +239,10 @@ def build_plane_geometry(
         int(np.ceil(f64(support_x) * 2.0)), int(np.ceil(f64(support_y) * 2.0))
     )
 
-    start_x = f32(crop_left + (crop_width / dst_width - 1.0) / 2.0)
-    start_y = f32(crop_top + (crop_height - dst_height) / (dst_height * 2.0))
+    start_x = crop_left + (crop_width / dst_width - 1.0) / 2.0
+    start_y = crop_top + (crop_height - dst_height) / (dst_height * 2.0)
+    if pos_dtype == "f32":
+        start_x, start_y = f32(start_x), f32(start_y)
 
     gx = build_axis_geometry(
         size_src=src_width,
@@ -193,6 +254,7 @@ def build_plane_geometry(
         filter_size=filter_size,
         filter_step=filter_step_x,
         start_pos=start_x,
+        pos_dtype=pos_dtype,
     )
     gy = build_axis_geometry(
         size_src=src_height,
@@ -204,6 +266,7 @@ def build_plane_geometry(
         filter_size=filter_size,
         filter_step=filter_step_y,
         start_pos=start_y,
+        pos_dtype=pos_dtype,
     )
     return PlaneGeometry(
         x=gx, y=gy, radius=radius, filter_size=filter_size, filter_support=support

@@ -9,8 +9,12 @@ equivalent: it runs ANY (class, window-start) sequence, replacing the XLA
 gather fallback that materializes per-tap-row patch and weight tensors
 (~24 ms/frame at 1080p->4K tap8; this kernel 16 ms measured on v5e — it is
 VPU-bound: fs^2 = 289 fp32 MACs/px with per-pixel weights cannot use the MXU.
-Piecewise-periodic geometries should prefer kernels/pallas_band.py, which
-gets the same MACs onto the MXU; this kernel is the fully-general fallback).
+Quasi-periodic geometries — rational scale ratios fragmented only by the
+reference's float32 position drift — have a faster answer: the drift-free
+``pos_precision='f64'`` geometry mode (geometry.py) keeps them exactly
+periodic so impl='auto' routes them to the MXU conv path; this kernel is the
+fully-general fallback for bit-parity positions and irrational-equivalent
+ratios, where per-pixel weights are structural).
 
 Structure per destination-row band b, column tile t, frame f (3-D grid):
 

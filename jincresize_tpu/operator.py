@@ -198,12 +198,18 @@ def build_plane_operator(
     blur: float = 1.0,
     lut: np.ndarray | None = None,
     border_chunk_rows: int = 64,
+    pos_precision: str | None = None,
 ) -> PlaneOperator:
     """Build the banded sparse resampling operator for one plane geometry.
 
     One call per distinct plane geometry, mirroring the reference's one
     ``generate_coeff_table_c`` call per geometry (JincResize.cpp:822-866):
     one operator for luma/444/RGB planes, a second for subsampled chroma.
+
+    ``pos_precision``: None/'f32' replicates the reference's float32 position
+    walk (bit parity, default); 'f64' is the drift-free geometry mode that
+    keeps rational scale ratios exactly periodic — see
+    ``geometry.build_axis_geometry``.
     """
     if crop_width is None:
         crop_width = float(src_width)
@@ -224,6 +230,7 @@ def build_plane_operator(
         crop_height=crop_height,
         quantize_x=quantize_x,
         quantize_y=quantize_y,
+        pos_dtype=pos_precision or "f32",
     )
     fs = g.filter_size
     gx, gy = g.x, g.y

@@ -132,6 +132,28 @@ def plan_phases(op: PlaneOperator, max_period: int = 64) -> PhasePlan | None:
     return PhasePlan(x=px, y=py)
 
 
+def geometry_is_periodic(g, max_period: int = 64) -> bool:
+    """Cheap phase-plan probe on a PlaneGeometry (no coefficient build).
+
+    Used for the drift hint (api.py): when the parity (f32-position) operator
+    lands on the gather/XLA path, this checks whether the same request under
+    ``pos_dtype='f64'`` would plan onto the conv path — classes and starts
+    are all that planning needs, and a geometry build is milliseconds while
+    an operator build is seconds.
+    """
+    from .operator import _contiguous_border
+
+    fs = g.filter_size
+    plans = []
+    for ax in (g.y, g.x):
+        lo, hi = _contiguous_border(ax.border)
+        p = _plan_axis(ax.qclass, ax.start, lo, hi, max_period)
+        if p is None:
+            return False
+        plans.append(p)
+    return plans[0].p * plans[1].p * fs * fs <= 32768
+
+
 def build_conv_kernels(op: PlaneOperator, plan: PhasePlan) -> np.ndarray:
     """Embed per-phase-pair coefficient blocks into conv kernels.
 

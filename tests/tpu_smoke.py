@@ -26,6 +26,10 @@ CASES = [
     ("blur + quant1", 96, 64, 144, 96, 3, 16, {"blur": 0.98, "quant_x": 1, "quant_y": 1}),
     ("tap16 2x upscale", 96, 64, 192, 128, 16, 32, {}),
     ("420 topleft chroma", 128, 96, 256, 192, 3, 8, {"cplace": "topleft", "fmt": "420"}),
+    # Drift-free geometry mode: same engines, f64 positions. Parity here is
+    # vs the host golden on the SAME f64 operator, so the 1-LSB bound holds.
+    ("f64 3/2 subpixel crop", 128, 96, 192, 144, 4, 8,
+     {"src_left": 0.123, "src_top": 0.456, "pos_precision": "f64"}),
 ]
 
 

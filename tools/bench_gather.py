@@ -11,7 +11,17 @@ periodic (impl='auto' runs it on the conv path at 1.7 ms); --impl gather
 forces the general kernel onto it, which is weight-layout-equivalent to
 the aperiodic case (per-row class planes, no periodicity assumption).
 
-Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla]
+--geometry 1.5x measures the genuinely quasi-periodic regime (1.5x upscale
+with sub-pixel crop: f32 position drift fragments the phase pattern, so
+impl=auto lands on the gather kernel). --pos-precision f64 measures the
+drift-free geometry mode on the same request: the geometry becomes exactly
+periodic (p=3) and impl=auto runs the fused MXU conv path instead —
+measured r3 (v5e, 8 frames, 1920x1080->2880x1620 tap8 crop 0.3): f32+gather
+12.21 ms/frame (dict 675 blocks) vs f64+auto(fused) 1.43 ms/frame (dict 9
+blocks) — 8.5x for the same resize request.
+
+Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla|auto]
+                                    [--geometry 2x|1.5x] [--pos-precision f32|f64]
 """
 
 import argparse
@@ -27,8 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--impl", default="gather", choices=["gather", "xla"])
+    ap.add_argument("--impl", default="gather", choices=["gather", "xla", "auto"])
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--geometry", default="2x", choices=["2x", "1.5x"])
+    ap.add_argument("--pos-precision", default="f32", choices=["f32", "f64"])
     args = ap.parse_args()
 
     import jax
@@ -44,10 +56,15 @@ def main():
     from jincresize_tpu.operator import build_plane_operator, radius_for_tap
     from jincresize_tpu.phase import plan_phases
 
-    sw, sh, dw, dh = 1920, 1080, 3840, 2160
+    if args.geometry == "1.5x":
+        sw, sh, dw, dh = 1920, 1080, 2880, 1620
+    else:
+        sw, sh, dw, dh = 1920, 1080, 3840, 2160
     t0 = time.time()
-    # src_left=0.3 makes the geometry aperiodic (position drift fragments the
-    # class dictionary) — same regime as ROADMAP item 12's 24 ms measurement.
+    # src_left=0.3 + f32 positions: drift fragments the class dictionary
+    # (quasi-periodic for 1.5x; the 2x case stays periodic and only proxies
+    # the gather layout — see module docstring). pos_precision='f64' removes
+    # the drift so the phase planner finds the exact rational period.
     op = cached_build(
         build_plane_operator,
         src_width=sw,
@@ -57,6 +74,7 @@ def main():
         radius=radius_for_tap(8),
         crop_left=0.3,
         crop_top=0.3,
+        pos_precision=None if args.pos_precision == "f32" else args.pos_precision,
     )
     print(
         f"# built in {time.time()-t0:.1f}s: {op.stats()} "
@@ -73,6 +91,18 @@ def main():
         app = GatherApplier(op)
         print(f"# tiles: {app.tile_info}", file=sys.stderr)
         fn = app
+    elif args.impl == "auto":
+        from jincresize_tpu.api import _select_engine
+
+        app, engine = _select_engine(op, "auto", "fp32")
+        print(f"# auto selected engine: {engine}", file=sys.stderr)
+        if app is None:
+            from jincresize_tpu import apply_xla
+
+            dop = apply_xla.to_device(op)
+            fn = jax.jit(lambda s: apply_xla.resize_plane_batch(dop, s))
+        else:
+            fn = app
     else:
         from jincresize_tpu import apply_xla
 
