@@ -169,6 +169,14 @@ def make_strips_interior(
     """
     fs = op.filter_size
     px, qx = plan.x.p, plan.x.q
+    # Wide-phase envelope (measured r3, real v5e): the kernel's per-step
+    # output is px*TNB lanes and its unrolled per-phase temporaries scale
+    # with px — px=8 (in the fused envelope via py<=4) scoped-VMEM-OOMs at
+    # compile (17.77M vs the 16M stack limit); px=5/fs=17 compiles and is
+    # 1-LSB correct. Shrinking TNB below LANE is not an option (lane
+    # alignment), so px>5 falls back to the XLA strips path (None).
+    if px > 5:
+        return None
     nxb = plan.x.nblocks
     offs_x = plan.x.offsets.astype(int)
     spread_x = int(offs_x.max())

@@ -104,3 +104,28 @@ def test_strip_kernel_engaged_and_correct():
     a = np.asarray(ap(jnp.asarray(src)))
     b = apply_plane_numpy(op, src, out_dtype=np.float32)
     assert np.abs(a - b).max() <= 1e-6
+
+
+def test_strip_kernel_declines_wide_phase_plans():
+    """px>5 scoped-VMEM-OOMs the strip kernel at compile on real TPU (r3);
+    make_strips_interior must return None and the ConvApplier must still
+    produce correct output through the XLA strips path."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.apply_conv import ConvApplier
+    from jincresize_tpu.kernels.pallas_strips import make_strips_interior
+    from jincresize_tpu.phase import plan_phases
+
+    # Anisotropic 8/3-by-4/3 (px=8, py=4) in f64 geometry mode.
+    op = build_plane_operator(
+        360, 240, 960, 320, radius_for_tap(4),
+        crop_left=0.3, crop_top=0.3, pos_precision="f64")
+    plan = plan_phases(op)
+    assert (plan.y.p, plan.x.p) == (4, 8)
+    assert make_strips_interior(op, plan, interpret=True) is None
+    ap = ConvApplier(op, interior="fused")
+    assert ap._strips_kfn_spec is None  # kernel declined, slicing path in use
+    src = np.random.default_rng(5).random((240, 360), dtype=np.float32)
+    a = np.asarray(ap(jnp.asarray(src)))
+    b = apply_plane_numpy(op, src, out_dtype=np.float32)
+    assert np.abs(a - b).max() <= 1e-6

@@ -30,6 +30,11 @@ CASES = [
     # vs the host golden on the SAME f64 operator, so the 1-LSB bound holds.
     ("f64 3/2 subpixel crop", 128, 96, 192, 144, 4, 8,
      {"src_left": 0.123, "src_top": 0.456, "pos_precision": "f64"}),
+    # Anisotropic wide-phase plan (px=8, py=4): the strip kernel must
+    # decline (px>5 scoped-VMEM-OOMs at compile, r3) and the fused interior
+    # still run with XLA strips.
+    ("f64 8/3-by-4/3 px=8", 360, 240, 960, 320, 4, 8,
+     {"src_left": 0.3, "src_top": 0.3, "pos_precision": "f64"}),
 ]
 
 
