@@ -434,7 +434,9 @@ class JincResizer:
             from .geometry import build_plane_geometry
             from .phase import geometry_is_periodic
 
-            g = build_plane_geometry(pos_dtype="f64", **geo)
+            # dists=False: the probe needs only classes/starts/borders —
+            # skip the (dst x fs) distance matrices the full build computes.
+            g = build_plane_geometry(pos_dtype="f64", dists=False, **geo)
             if geometry_is_periodic(g):
                 from .metrics import logger
 
@@ -446,7 +448,9 @@ class JincResizer:
                     self.engines["luma"],
                 )
         except Exception:  # the hint must never break construction
-            pass
+            from .metrics import logger
+
+            logger.debug("drift hint probe failed", exc_info=True)
 
     # ------------------------------------------------------------------ plane
     def _plane_op(self, name: str):

@@ -228,7 +228,12 @@ def main(argv=None) -> int:
                 raise SystemExit("--width/--height are required (unless --chain sets them)")
             cfg = JincConfig(target_width=args.width, target_height=args.height, **common)
             resizer = JincResizer(
-                clip.format, clip.width, clip.height, cfg, frame0=clip.frames[0]
+                clip.format,
+                clip.width,
+                clip.height,
+                cfg,
+                frame0=clip.frames[0],
+                mesh=mesh,
             )
             t_built = time.time()
             out = resizer(clip)

@@ -62,15 +62,16 @@ class AxisGeometry:
     quantize: int
     filter_step: float  # float64: min(dst/crop, 1.0)
     # Per-destination-coordinate arrays (length size_dst):
-    pos: np.ndarray  # float32 accumulated position
+    pos: np.ndarray  # accumulated position: f32 (parity) or f64 (drift-free)
     start: np.ndarray  # int64: clamped window begin (apply-time start)
     border: np.ndarray  # bool: axis border flag
     qclass: np.ndarray  # int64: quantization class (trunc-mod)
-    qpos: np.ndarray  # float32 quantized position
+    qpos: np.ndarray  # quantized position: f32 (parity) or f64 (drift-free)
     qbegin: np.ndarray  # int64: rebased window begin from quantized position
     # Tap-distance vectors (length size_dst x filter_size), float32, pre-step:
     # (clamped position - window coordinate); multiply by filter_step in f64
-    # to get the reference's ``dx``/``dy``.
+    # to get the reference's ``dx``/``dy``. Empty (0, fs) when the geometry
+    # was built with dists=False (phase-probe mode — see build_axis_geometry).
     dist_raw: np.ndarray  # from unquantized pos and clamped begin (border path)
     dist_quant: np.ndarray  # from quantized pos and rebased begin (interior)
 
@@ -86,12 +87,17 @@ def build_axis_geometry(
     filter_step: float,
     start_pos: f32,
     pos_dtype: str = "f32",
+    dists: bool = True,
 ) -> AxisGeometry:
     """Compute all per-coordinate geometry for one axis.
 
     ``filter_support`` is the *shared* float32 support (max over the two axes);
     ``start_pos`` is the float32 initial position (axis-specific formula — see
     ``plane_start_positions``).
+
+    ``dists=False`` skips the (size_dst x filter_size) tap-distance matrices
+    (stored empty) — the phase-probe mode used by the drift hint, which only
+    needs classes/starts/borders and should not pay for coefficient inputs.
 
     ``pos_dtype='f32'`` (default) replicates the reference's serial float32
     position walk bit-for-bit, drift included. ``'f64'`` is the drift-free
@@ -123,16 +129,22 @@ def build_axis_geometry(
         qpos = q_int.astype(f64) / f64(quantize)
         qbegin = trunc_to_int(qpos + support) - filter_size + 1
 
-        taps = np.arange(filter_size, dtype=np.int64)
-        hi = f64(size_src - 1)
-        pos_cl = np.clip(pos, f64(0.0), hi)
-        qpos_cl = np.clip(qpos, f64(0.0), hi)
-        # Cast to f32 at the end: block computation re-widens to f64 and
-        # multiplies by the f64 filter step either way (operator.py
-        # compute_blocks), so one final rounding keeps the downstream
-        # native/NumPy builders unchanged.
-        dist_raw = (pos_cl[:, None] - (begin[:, None] + taps[None, :])).astype(f32)
-        dist_quant = (qpos_cl[:, None] - (qbegin[:, None] + taps[None, :])).astype(f32)
+        if dists:
+            taps = np.arange(filter_size, dtype=np.int64)
+            hi = f64(size_src - 1)
+            pos_cl = np.clip(pos, f64(0.0), hi)
+            qpos_cl = np.clip(qpos, f64(0.0), hi)
+            # Cast to f32 at the end: block computation re-widens to f64 and
+            # multiplies by the f64 filter step either way (operator.py
+            # compute_blocks), so one final rounding keeps the downstream
+            # native/NumPy builders unchanged.
+            dist_raw = (pos_cl[:, None] - (begin[:, None] + taps[None, :])).astype(f32)
+            dist_quant = (
+                qpos_cl[:, None] - (qbegin[:, None] + taps[None, :])
+            ).astype(f32)
+        else:
+            dist_raw = np.empty((0, filter_size), dtype=f32)
+            dist_quant = np.empty((0, filter_size), dtype=f32)
         return AxisGeometry(
             size_src=size_src,
             size_dst=size_dst,
@@ -169,15 +181,23 @@ def build_axis_geometry(
     qpos = (q_int.astype(f32) / f32(quantize)).astype(f32)
     qbegin = trunc_to_int((qpos + support).astype(f32)) - filter_size + 1
 
-    # Distance vectors for the coefficient gather (JincResize.cpp:485-486):
-    # float32 ``clamp(pos, 0, src-1) - window_coord`` per tap.
-    taps = np.arange(filter_size, dtype=np.int64)
-    hi = f32(size_src - 1)
-    pos_cl = np.clip(pos, f32(0.0), hi).astype(f32)
-    qpos_cl = np.clip(qpos, f32(0.0), hi).astype(f32)
-    # float32 subtraction of (clamped float32 pos) - (int window coordinate)
-    dist_raw = (pos_cl[:, None] - (begin[:, None] + taps[None, :]).astype(f32)).astype(f32)
-    dist_quant = (qpos_cl[:, None] - (qbegin[:, None] + taps[None, :]).astype(f32)).astype(f32)
+    if dists:
+        # Distance vectors for the coefficient gather (JincResize.cpp:485-486):
+        # float32 ``clamp(pos, 0, src-1) - window_coord`` per tap.
+        taps = np.arange(filter_size, dtype=np.int64)
+        hi = f32(size_src - 1)
+        pos_cl = np.clip(pos, f32(0.0), hi).astype(f32)
+        qpos_cl = np.clip(qpos, f32(0.0), hi).astype(f32)
+        # float32 subtraction of (clamped float32 pos) - (int window coordinate)
+        dist_raw = (
+            pos_cl[:, None] - (begin[:, None] + taps[None, :]).astype(f32)
+        ).astype(f32)
+        dist_quant = (
+            qpos_cl[:, None] - (qbegin[:, None] + taps[None, :]).astype(f32)
+        ).astype(f32)
+    else:
+        dist_raw = np.empty((0, filter_size), dtype=f32)
+        dist_quant = np.empty((0, filter_size), dtype=f32)
 
     return AxisGeometry(
         size_src=size_src,
@@ -219,6 +239,7 @@ def build_plane_geometry(
     quantize_x: int,
     quantize_y: int,
     pos_dtype: str = "f32",
+    dists: bool = True,
 ) -> PlaneGeometry:
     """Derive the shared filter footprint and both axis geometries.
 
@@ -255,6 +276,7 @@ def build_plane_geometry(
         filter_step=filter_step_x,
         start_pos=start_x,
         pos_dtype=pos_dtype,
+        dists=dists,
     )
     gy = build_axis_geometry(
         size_src=src_height,
@@ -267,6 +289,7 @@ def build_plane_geometry(
         filter_step=filter_step_y,
         start_pos=start_y,
         pos_dtype=pos_dtype,
+        dists=dists,
     )
     return PlaneGeometry(
         x=gx, y=gy, radius=radius, filter_size=filter_size, filter_support=support

@@ -169,13 +169,16 @@ def make_strips_interior(
     """
     fs = op.filter_size
     px, qx = plan.x.p, plan.x.q
-    # Wide-phase envelope (measured r3, real v5e): the kernel's per-step
+    # Wide-phase/-tap envelope (measured r3, real v5e): the kernel's per-step
     # output is px*TNB lanes and its unrolled per-phase temporaries scale
-    # with px — px=8 (in the fused envelope via py<=4) scoped-VMEM-OOMs at
-    # compile (17.77M vs the 16M stack limit); px=5/fs=17 compiles and is
-    # 1-LSB correct. Shrinking TNB below LANE is not an option (lane
-    # alignment), so px>5 falls back to the XLA strips path (None).
-    if px > 5:
+    # with px AND the padded tap height fs_p — px=8/fs=9 (fs_p=16, px*fs_p
+    # = 128) scoped-VMEM-OOMs at compile (17.77M vs the 16M stack limit);
+    # px=5/fs=17 (fs_p=24, px*fs_p = 120) compiles and is 1-LSB correct.
+    # Gate on the product so tall-tap corners (e.g. px=5 with fs near the
+    # fs*fs<=1200 bound) decline too, not just wide-phase ones; shrinking
+    # TNB below LANE is not an option (lane alignment), so anything past the
+    # measured-safe envelope falls back to the XLA strips path (None).
+    if px * _round_up(fs, SUB) > 120:
         return None
     nxb = plan.x.nblocks
     offs_x = plan.x.offsets.astype(int)

