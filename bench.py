@@ -24,6 +24,98 @@ import numpy as np
 BASELINE_PX_PER_S = 7680 * 4320 * (1.54e12 / 18.05e9)
 
 
+def scaling_main(args):
+    """nnz/s scaling harness (BASELINE.md §3: ">=90% nnz/s scaling at 2+
+    hosts"; measured at n_rows 1/2/4/8 here — virtual CPU devices stand in
+    when real chips are scarce, the standard JAX fake-multi-device harness).
+
+    Prints per-configuration nnz/s to stderr and ONE JSON line:
+    {"metric": "nnz_scaling_8dev", "value": <8-dev efficiency>, ...} where
+    efficiency = (nnz/s at 8 devices) / (8 x nnz/s at 1 device).
+    """
+    import subprocess
+
+    import jax
+
+    if len(jax.devices()) < 8 and jax.default_backend() != "cpu":
+        # Single real chip: re-exec on the virtual-device harness.
+        env = {
+            **os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        }
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        return subprocess.call([sys.executable, os.path.abspath(__file__),
+                                "--scaling", "--frames", str(args.frames)],
+                               env=env)
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+    from jincresize_tpu.sharding import ShardedApplier, make_mesh
+
+    # Small geometry: the harness must run in seconds on interpret-mode CPU
+    # meshes; on real chips the same flag measures true ICI halo scaling.
+    sw, sh, dw, dh = 480, 272, 960, 544
+    op = build_plane_operator(sw, sh, dw, dh, radius_for_tap(3))
+    nnz = op.stats()["logical_nnz"]
+    F = max(2, min(args.frames, 4))
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.random((F, sh, sw), dtype=np.float32))
+
+    import time as _t
+
+    # Baseline (k=1): the SINGLE-CHIP engine, not a 1-device mesh — a
+    # 1-device "mesh" degenerates to the replicate fallback and would make
+    # the scaling denominator an artifact. Efficiency thus reads "per-chip
+    # rate retained when row-sharding across k chips vs one unsharded chip".
+    rates = {}
+    engines = {}
+    for k in (1, 2, 4, 8):
+        if k > len(jax.devices()):
+            break
+        if k == 1:
+            from jincresize_tpu.api import _select_engine
+
+            ap, engines[1] = _select_engine(op, "auto", "fp32")
+            if ap is None:
+                from jincresize_tpu import apply_xla
+
+                dop = apply_xla.to_device(op)
+                ap = lambda x: apply_xla.resize_plane_batch(dop, x)
+        else:
+            mesh = make_mesh(n_rows=k)
+            ap = ShardedApplier(op, mesh)
+            engines[k] = ap.interior
+        run = lambda x: float(jnp.sum(ap(x)))
+        run(src)  # compile
+        t0 = _t.time()
+        iters = 3
+        for _ in range(iters):
+            run(src)
+        dt = (_t.time() - t0) / iters
+        rates[k] = nnz * F / dt
+        print(
+            f"# n_rows={k}: {dt*1e3:.1f} ms/batch ({F} frames), "
+            f"{rates[k]/1e9:.2f} Gnnz/s, interior={engines[k]}",
+            file=sys.stderr,
+        )
+    kmax = max(rates)
+    eff = rates[kmax] / (kmax * rates[1])
+    print(
+        json.dumps(
+            {
+                "metric": f"nnz_scaling_{kmax}dev",
+                "value": eff,
+                "unit": "fraction_of_linear",
+                "vs_baseline": eff / 0.9,
+            }
+        )
+    )
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="reduced size (CI/dev)")
@@ -45,12 +137,23 @@ def main():
         "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
     )
     ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="nnz/s scaling harness (BASELINE.md §3): run the row-sharded "
+        "apply at n_rows in {1,2,4,8} and report per-config nnz/s + scaling "
+        "efficiency. Uses real chips when >=8 are visible, else re-execs "
+        "itself on 8 virtual CPU devices.",
+    )
+    ap.add_argument(
         "--precision",
         default="fp32",
         choices=["fp32", "bf16"],
         help="bf16 = documented non-parity fast mode (1-pass MXU dots)",
     )
     args = ap.parse_args()
+
+    if args.scaling:
+        return scaling_main(args)
 
     import jax
 

@@ -54,12 +54,13 @@ class JincConfig:
     initial_capacity: int | None = None
     initial_factor: float = 1.5
     # TPU-native execution selector (replaces the ISA dispatch, SURVEY C17):
-    # 'auto' prefers the phase-conv MXU path for periodic geometry, the
-    # Pallas gather kernel for aperiodic geometry on TPU, then the XLA
-    # gather path; 'conv'/'gather' force one engine (error if ineligible);
-    # 'pallas' requires a Pallas engine (fused conv interior or gather
-    # kernel); 'numpy' is the host golden.
-    impl: str = "auto"  # 'auto' | 'conv' | 'gather' | 'xla' | 'pallas' | 'numpy'
+    # 'auto' prefers the phase-conv MXU path for periodic geometry, then (on
+    # TPU) the segment-periodic fused kernel for drift-fragmented rational
+    # scales, then the Pallas gather kernel for aperiodic geometry, then the
+    # XLA gather path; 'conv'/'seg'/'gather' force one engine (error if
+    # ineligible); 'pallas' requires a Pallas engine (fused conv interior,
+    # segment-periodic kernel or gather kernel); 'numpy' is the host golden.
+    impl: str = "auto"  # 'auto'|'conv'|'seg'|'gather'|'xla'|'pallas'|'numpy'
     # Float-path source clamp: the reference's SIMD kernels clamp float
     # sources at -0.5 (chroma/alpha) / 0.0 (luma/RGB) while the C kernel does
     # not. None reproduces the reference dispatch: clamp unless opt == 0.
@@ -132,6 +133,7 @@ def _validate(cfg: JincConfig) -> None:
     if cfg.impl not in (
         "auto",
         "conv",
+        "seg",
         "gather",
         "xla",
         "pallas",
@@ -159,6 +161,7 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
     import jax
 
     from .apply_conv import ConvApplier
+    from .apply_conv_seg import SegConvApplier
     from .apply_gather import GatherApplier
     from .phase import plan_phases
 
@@ -170,12 +173,27 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
         except ValueError:
             return None
 
+    def try_seg():
+        try:
+            return SegConvApplier(op, precision=precision, interpret=not on_tpu)
+        except ValueError:
+            return None
+
     def try_gather():
         try:
             return GatherApplier(op, interpret=not on_tpu)
         except ValueError:
             return None
 
+    if impl == "seg":
+        app = try_seg()
+        if app is None:
+            raise JincError(
+                "JincResize: impl='seg' — geometry has no usable "
+                "segment-periodic structure (use impl='auto' for automatic "
+                "fallback)."
+            )
+        return app, "fused-seg"
     if impl == "conv":
         app = try_conv()
         if app is None:
@@ -195,6 +213,7 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
     if impl == "pallas":
         # Honest selector: 'pallas' must execute a Pallas engine. The fused
         # conv interior when the phase plan and kernel envelope allow it,
+        # else the segment-periodic fused kernel (drifted rational scales),
         # else the general gather kernel, else an error (like impl='conv').
         from .kernels import pallas_fused
 
@@ -202,20 +221,27 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
         if plan is not None and pallas_fused.is_supported(op, plan):
             app = ConvApplier(op, plan=plan, interior="fused", precision=precision)
             return app, "fused"
+        app = try_seg()
+        if app is not None:
+            return app, "fused-seg"
         app = try_gather()
         if app is None:
             raise JincError(
-                "JincResize: impl='pallas' — geometry is outside both Pallas "
+                "JincResize: impl='pallas' — geometry is outside all Pallas "
                 "kernel envelopes (use impl='auto' for automatic fallback)."
             )
         return app, "gather"
-    # impl == 'auto': conv (fused/shift) for periodic geometry; the gather
-    # kernel for aperiodic geometry on TPU (interpret mode is too slow to be
-    # an automatic choice elsewhere); the XLA path otherwise.
+    # impl == 'auto': conv (fused/shift) for periodic geometry; on TPU, the
+    # segment-periodic fused kernel for drift-fragmented rational scales,
+    # then the gather kernel for truly aperiodic geometry (interpret mode is
+    # too slow to be an automatic choice elsewhere); the XLA path otherwise.
     app = try_conv()
     if app is not None:
         return app, app.interior
     if on_tpu:
+        app = try_seg()
+        if app is not None:
+            return app, "fused-seg"
         app = try_gather()
         if app is not None:
             return app, "gather"
@@ -398,11 +424,11 @@ class JincResizer:
                 self.engines["chroma"] = f"sharded/{self._applier_chroma.interior}"
             self._impl = "sharded"
             return
-        if self._impl in ("auto", "conv", "gather", "xla", "pallas"):
+        if self._impl in ("auto", "conv", "seg", "gather", "xla", "pallas"):
             self._dev_luma = apply_xla.to_device(self.op_luma)
             if self.op_chroma is not None:
                 self._dev_chroma = apply_xla.to_device(self.op_chroma)
-        if self._impl in ("auto", "conv", "gather", "pallas"):
+        if self._impl in ("auto", "conv", "seg", "gather", "pallas"):
             self._applier_luma, eng = _select_engine(
                 self.op_luma, self._impl, prec
             )
@@ -475,6 +501,18 @@ class JincResizer:
         op, dop, cop = self._plane_op(name)
         cmin = self._clamp_min(name)
         dtype, peak = self.fmt.dtype, self.peak
+        # SIMD store semantics under the reference's default dispatch
+        # (opt != 0): u16 stores saturate at the TYPE max via packus
+        # (resize_plane_avx2.cpp:89 _mm_packus_epi32), not at `peak` —
+        # 9..15-bit overshoot may exceed peak exactly as it does in the
+        # reference's SIMD paths; only opt=0 selects the C kernel's peak
+        # clamp (JincResize.cpp:581-584). u8 (packus chain saturates at
+        # 255 == peak) and 16-bit (65535 == peak) are unaffected. Applied to
+        # every engine including the numpy path, which — like the float
+        # clamp above — models whichever reference kernel the configured
+        # ``opt`` would dispatch to.
+        if self.cfg.opt != 0 and 8 < self.fmt.bits < 16:
+            peak = 65535.0
         if self._impl == "numpy":
             return np.stack(
                 [

@@ -134,7 +134,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--impl",
         default="auto",
-        choices=["auto", "conv", "gather", "xla", "pallas", "sharded", "numpy"],
+        choices=["auto", "conv", "seg", "gather", "xla", "pallas", "sharded", "numpy"],
         help="execution engine (honest dispatch: the named engine runs or errors)",
     )
     ap.add_argument(

@@ -1,0 +1,525 @@
+"""Segment-periodic fused interior: bit-parity MXU path for drifted geometry.
+
+The parity default (``pos_precision='f32'``) replicates the reference's f32
+position walk (JincResize.cpp:524), whose drift fragments rational scale
+ratios: window starts stay affine per residue (measured: zero start
+deviations at 1.5x up to 4K; a handful at 2.5x), but quantization classes
+drift as per-residue staircases (~60 steps/axis at 1.5x 1080p). The plain
+fused kernel (pallas_fused.py) requires one exact anchor pattern, so these
+geometries fell to the per-pixel-weight gather kernel (~12 ms/frame at 1.5x
+1080p vs 1.4 ms for the conv path — r3 VERDICT missing #1).
+
+This kernel runs the drifted geometry EXACTLY on the MXU:
+
+  * rows: weights are per-band tensors built from each destination row's TRUE
+    class (``op.cy_idx``) and true window start — y drift costs nothing but
+    weight bytes;
+  * columns: each column tile carries ``G`` class-variant groups — the
+    distinct ``(phase, class, start-offset)`` combos among its blocks —
+    M-concatenated into the dots (same staged operands feed all variants);
+    a per-tile 0/1 select tensor then routes each output column to its
+    variant on the VPU. Dot-M grows by ~(1 + breakpoints/tile/px), the
+    measured ~2-4x at 1080p-class sizes — far below the ~8x gather penalty;
+  * start offsets (``roff``) fold into the extended tap range exactly like
+    the plain kernel's phase offsets: each variant's weights sit at
+    ``roff + lx`` within the shared staged window;
+  * arbitrary widths share ONE compiled kernel: columns are processed in
+    chunks of C tiles; every chunk re-invokes the same ``pallas_call`` shape
+    with its own weight/select tensors and a column-sliced residue-plane
+    view (chunk origins are multiples of ``qx*tnb``, so in-kernel offsets
+    are chunk-invariant).
+
+Numerics: HIGHEST (6-pass) dots with f32 weights, 0/1 selects and the exact
+phase-interleave scatter — identical value set and tolerance class as the
+plain fused kernel (accumulation-order-only deviations, like the reference's
+own C-vs-SIMD paths, JincResize.cpp:536-601).
+
+Memory: weights are materialized per (band, tile) — ~0.3-0.5 GB at 1080p
+1.5x. Geometries whose weight tensor would exceed ``JINCRESIZE_SEG_WMAX``
+bytes (default 512 MB, e.g. 4K 1.5x at ~2.3 GB) decline to the gather path;
+lifting this needs on-device expansion of the per-(band,tile) slabs
+(ROADMAP).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..operator import PlaneOperator
+from ..phase import SegPhasePlan
+from .pallas_fused import residue_planes
+
+f32 = jnp.float32
+
+SUB = 8
+LANE = 128
+TNB = int(os.environ.get("JINCRESIZE_SEG_TNB", "128"))
+WMAX = int(os.environ.get("JINCRESIZE_SEG_WMAX", str(512 * 1024 * 1024)))
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _geometry(op: PlaneOperator, plan: SegPhasePlan):
+    """Static tile geometry shared by is_supported / make_seg_interior."""
+    fs = op.filter_size
+    py, qy = plan.y.p, plan.y.q
+    qx = plan.x.q
+    # Band origin advances qy*tmb rows per grid step; keeping the in-block
+    # row offset static requires qy*tmb % SUB == 0.
+    tmb = SUB // math.gcd(qy, SUB)
+    while py * tmb < 16 and qy * tmb * 2 % SUB == 0:
+        nxt = qy * (tmb * 2 - 1) + plan.y.spread + fs
+        if _round_up(nxt, SUB) > LANE:
+            break
+        tmb *= 2
+    if os.environ.get("JINCRESIZE_SEG_TMB"):
+        tmb = int(os.environ["JINCRESIZE_SEG_TMB"])
+    tmo = py * tmb
+    spread_y = plan.y.spread
+    spread_x = plan.x.spread
+    hbu = qy * (tmb - 1) + spread_y + fs
+    hbu_p = _round_up(hbu, SUB)
+    g = max(1, LANE // hbu_p) if hbu_p <= LANE else 1
+    fs_x = fs + spread_x
+    packs = tuple(
+        tuple(range(d * g, min((d + 1) * g, fs_x))) for d in range(-(-fs_x // g))
+    )
+    kp = g * hbu_p
+    return tmb, tmo, hbu, hbu_p, g, fs_x, packs, kp
+
+
+def _tile_groups(plan: SegPhasePlan, nt: int, tnb: int):
+    """Distinct (rx, cls, roff) variant groups per column tile.
+
+    Returns (groups, Gmax): groups[j] is an ordered list of (rx, cls, roff)
+    and the block->group routing is recovered by matching; Gmax is the
+    uniform group count every tile's weights are padded to.
+    """
+    px = plan.x.p
+    nxb = plan.x.nblocks
+    cls = plan.x.cls.reshape(nxb, px)
+    roff = plan.x.roff.reshape(nxb, px)
+    groups = []
+    for j in range(nt):
+        b0, b1 = j * tnb, min((j + 1) * tnb, nxb)
+        gset = {}
+        for rx in range(px):
+            for b in range(b0, b1):
+                key = (rx, int(cls[b, rx]), int(roff[b, rx]))
+                if key not in gset:
+                    gset[key] = len(gset)
+        groups.append(list(gset.keys()))
+    gmax = max(len(gr) for gr in groups) if groups else 0
+    return groups, gmax
+
+
+def is_supported(op: PlaneOperator, plan: SegPhasePlan) -> bool:
+    """Envelope: offsets bounded, K window fits, weight tensor affordable."""
+    fs = op.filter_size
+    py, px = plan.y.p, plan.x.p
+    if py > 8 or px > 8 or py * px > 32:
+        return False
+    if fs * fs > 1200:
+        return False
+    if plan.y.spread > 8 or plan.x.spread > 8:
+        return False
+    tmb, tmo, hbu, hbu_p, g, fs_x, packs, kp = _geometry(op, plan)
+    if hbu_p > LANE:
+        return False
+    tnb = TNB
+    nt = -(-plan.x.nblocks // tnb)
+    groups, gmax = _tile_groups(plan, nt, tnb)
+    if gmax == 0 or gmax * tmo > 1024:
+        return False
+    mt = -(-plan.y.nblocks // tmb)
+    n_d = len(packs)
+    mp = _round_up(gmax * tmo, SUB)
+    w_bytes = mt * nt * n_d * mp * kp * 4
+    if w_bytes > WMAX:
+        return False
+    # One chunk must fit VMEM even at C=1.
+    return _vmem_bytes(op, plan, 1, n_d, mp, kp, hbu_p, gmax, tmo) <= VMEM_BUDGET
+
+
+def _vmem_bytes(op, plan, C, n_d, mp, kp, hbu_p, gmax, tmo, wparts=1):
+    fs = op.filter_size
+    px, qx = plan.x.p, plan.x.q
+    tnb = TNB
+    tno = px * tnb
+    ry0 = plan.y.base - plan.y.base // SUB * SUB
+    hb = _round_up(ry0 + hbu_p, SUB)
+    ext_x_c = plan.x.base + (fs + plan.x.spread - 1) + qx * (tnb * C - 1) + 1
+    wq_c = _round_up(-(-ext_x_c // qx), LANE)
+    band = qx * hb * wq_c * 4
+    wb = wparts * C * n_d * mp * kp * 4
+    outb = tmo * C * tno * 4
+    selb = C * gmax * px * tnb * 4
+    scratch = n_d * kp * tnb * 4
+    return 2 * (band + wb + outb) + selb + scratch
+
+
+def _seg_kernel(
+    w_ref,  # (1, C, n_d, Mp, kp) or (1, C, WPARTS, n_d, Mp, kp)
+    sel_ref,  # (C, Gmax, px, tnb)
+    src_ref,  # (qx, hb, wq_c) residue planes for this chunk
+    out_ref,  # (tmo, C*tno)
+    colp_ref,  # (n_d, kp, tnb) staging scratch
+    *,
+    ry0: int,
+    base_x: int,
+    packs: tuple,
+    hbu_p: int,
+    tmo: int,
+    gmax: int,
+    px: int,
+    qx: int,
+    tnb: int,
+    C: int,
+    precision,
+    interleave: str,
+):
+    """One grid step: a band of tmo destination rows across C column tiles."""
+    wparts = 1 if w_ref.ndim == 5 else w_ref.shape[2]
+    tno = px * tnb
+    if px > 1 and interleave != "xla":
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
+        es = [(cols == px * rows + rx).astype(f32) for rx in range(px)]
+
+    for jj in range(C):
+        cj = base_x + qx * tnb * jj
+
+        def seg(c0):
+            r, base = c0 % qx, c0 // qx
+            return src_ref[r, ry0 : ry0 + hbu_p, base : base + tnb]
+
+        colps = []
+        for d, taps in enumerate(packs):
+            if len(taps) == 1:
+                colps.append(seg(cj + taps[0]))
+            else:
+                for t, lx in enumerate(taps):
+                    colp_ref[d, t * hbu_p : (t + 1) * hbu_p, :] = seg(cj + lx)
+                colps.append(colp_ref[d, : len(taps) * hbu_p, :])
+        mp = w_ref.shape[-2]
+        acc_cat = jnp.zeros((mp, tnb), dtype=f32)
+        for d, taps in enumerate(packs):
+            for part in range(wparts):
+                wd = (
+                    w_ref[0, jj, d]
+                    if wparts == 1
+                    else w_ref[0, jj, part, d]
+                )
+                acc_cat = acc_cat + jax.lax.dot_general(
+                    wd[:, : len(taps) * hbu_p],
+                    colps[d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=precision
+                    if wparts == 1
+                    else jax.lax.Precision.DEFAULT,
+                    preferred_element_type=f32,
+                )
+        # Variant select: route each column to its (class, roff) group.
+        # sel is 0/1 so the products are exact; each column receives exactly
+        # one group per phase (host-verified), so there is no accumulation
+        # error — the adds just pick the nonzero term.
+        accs = []
+        for rx in range(px):
+            a = jnp.zeros((tmo, tnb), dtype=f32)
+            for gg in range(gmax):
+                a = a + acc_cat[gg * tmo : (gg + 1) * tmo, :] * sel_ref[
+                    jj, gg, rx, :
+                ][None, :]
+            accs.append(a)
+        if px == 1:
+            out_ref[:, jj * tno : (jj + 1) * tno] = accs[0]
+        elif interleave == "xla":
+            # Phase-PLANE layout: plane rx of tile jj at columns
+            # [jj*tno + rx*tnb, ...+tnb); the caller interleaves with one
+            # XLA minor-dim transpose. At the seg kernel's small tmo the
+            # MXU scatter dots run at ~19% M-utilization and their issue
+            # overhead rivals the main dots, so plane stores + one XLA
+            # transpose win despite the extra HBM pass.
+            for rx in range(px):
+                out_ref[
+                    :, jj * tno + rx * tnb : jj * tno + (rx + 1) * tnb
+                ] = accs[rx]
+        else:
+            # Exact phase interleave on the MXU (same as pallas_fused):
+            # split3 = 3 exact bf16-component DEFAULT dots, else one HIGHEST.
+            out = jnp.zeros((tmo, tno), dtype=f32)
+            for rx in range(px):
+                if interleave == "split3":
+                    a = accs[rx]
+                    hi = a.astype(jnp.bfloat16).astype(f32)
+                    r1 = a - hi
+                    mid = r1.astype(jnp.bfloat16).astype(f32)
+                    lo = r1 - mid
+                    for part in (hi, mid, lo):
+                        out = out + jax.lax.dot_general(
+                            part,
+                            es[rx],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=f32,
+                        )
+                else:
+                    out = out + jax.lax.dot_general(
+                        accs[rx],
+                        es[rx],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32,
+                    )
+            out_ref[:, jj * tno : (jj + 1) * tno] = out
+
+
+def make_seg_interior(
+    op: PlaneOperator,
+    plan: SegPhasePlan,
+    precision: str = "highest",
+    interleave: str | None = None,
+    interpret: bool = False,
+):
+    """Build fn(src_f32) -> (py*nyb, px*nxb) interior in destination layout.
+
+    The result block belongs at canvas[y.lo : y.lo+py*nyb, x.lo : x.lo+px*nxb].
+    """
+    fs = op.filter_size
+    py, qy = plan.y.p, plan.y.q
+    px, qx = plan.x.p, plan.x.q
+    nyb, nxb = plan.y.nblocks, plan.x.nblocks
+    base_y, base_x = plan.y.base, plan.x.base
+    tmb, tmo, hbu, hbu_p, g, fs_x, packs, kp = _geometry(op, plan)
+    n_d = len(packs)
+    tnb = TNB
+    tno = px * tnb
+    nt = -(-nxb // tnb)
+    mt = -(-nyb // tmb)
+
+    groups, gmax = _tile_groups(plan, nt, tnb)
+    mp = _round_up(gmax * tmo, SUB)
+
+    ay = base_y // SUB * SUB
+    ry0 = base_y - ay
+    hb = _round_up(ry0 + hbu_p, SUB)
+    ext_y = ay + qy * tmb * (mt - 1) + hb
+
+    # Per-band row metadata: true class and in-band placement per dst row.
+    n_cov_y = py * nyb
+    ky = np.minimum(np.arange(mt * tmo), n_cov_y - 1)
+    cy_rows = plan.y.cls[ky].reshape(mt, tmo)  # (mt, tmo) int32
+    jblk = ky // py
+    row0_all = (
+        qy * (jblk - np.repeat(np.arange(mt) * tmb, tmo))
+        + plan.y.roff[ky].astype(np.int64)
+    ).reshape(mt, tmo)
+    assert row0_all.min() >= 0 and int(row0_all.max()) + fs <= hbu_p
+
+    # Weights: w[i, j, d, g*tmo + m, t*hbu_p + row0 + ly] = PB[cy, cls][ly, lx]
+    # with lx = packs[d][t] - roff_g (taps outside [0, fs) stay zero).
+    #
+    # Built ON DEVICE from compact operands (dictionary + index arrays): the
+    # expanded tensor is ~0.3-0.5 GB at 1080p-class sizes, and host->device
+    # uploads through the remote-tunnel deployment run at well under
+    # 1 MB/s in the worst case (measured; see pallas_gather's class-plane
+    # expansion note) — shipping the dictionary (<1 MB) and expanding with
+    # one jitted gather/einsum keeps construction off the slowest link.
+    cls_g = np.zeros((nt, gmax), dtype=np.int32)
+    roff_g = np.zeros((nt, gmax), dtype=np.int32)
+    for j in range(nt):
+        for gi, (rx, cxc, rox) in enumerate(groups[j]):
+            cls_g[j, gi] = cxc
+            roff_g[j, gi] = rox
+    # Extended-tap index per (tile, group): lx = lxp - roff, masked to [0, fs).
+    lxp_all = np.arange(n_d * g)  # fs_x padded to the pack grid
+    lx_rel = lxp_all[None, None, :] - roff_g[:, :, None]  # (nt, gmax, n_d*g)
+    lx_mask = (lx_rel >= 0) & (lx_rel < fs) & (lxp_all[None, None, :] < fs_x)
+    lx_idx = np.clip(lx_rel, 0, fs - 1)
+
+    @jax.jit
+    def _expand_w(PB, cy_rows_d, row0_d, lx_idx_d, lx_mask_d, cls_g_d):
+        # B[i,m,j,g,ly,lx]: per-row class x per-group class dictionary gather.
+        B = PB[cy_rows_d][:, :, cls_g_d]  # (mt, tmo, nt, gmax, fs, fs)
+        idx = lx_idx_d[None, None, :, :, None, :]  # (1,1,nt,gmax,1,n_d*g)
+        Bx = jnp.take_along_axis(
+            B, jnp.broadcast_to(idx, B.shape[:4] + (fs, n_d * g)), axis=5
+        )
+        Bx = Bx * lx_mask_d[None, None, :, :, None, :]
+        # K placement: one-hot over the in-band row offset.
+        kr = jnp.arange(hbu_p)
+        R = (
+            (row0_d[:, :, None, None] + jnp.arange(fs)[None, None, :, None])
+            == kr[None, None, None, :]
+        ).astype(f32)  # (mt, tmo, fs, hbu_p)
+        w1 = jnp.einsum(
+            "imjgaf,imak->imjgfk", Bx, R, preferred_element_type=f32
+        )  # (mt, tmo, nt, gmax, n_d*g, hbu_p)
+        w1 = w1.reshape(mt, tmo, nt, gmax, n_d, g * hbu_p)
+        w1 = w1.transpose(0, 2, 4, 3, 1, 5).reshape(mt, nt, n_d, gmax * tmo, kp)
+        if mp > gmax * tmo:
+            w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 0), (0, mp - gmax * tmo), (0, 0)))
+        return w1
+
+    w = _expand_w(
+        jnp.asarray(op.pair_blocks),
+        jnp.asarray(cy_rows.astype(np.int32)),
+        jnp.asarray(row0_all.astype(np.int32)),
+        jnp.asarray(lx_idx.astype(np.int32)),
+        jnp.asarray(lx_mask.astype(np.float32)),
+        jnp.asarray(cls_g),
+    )
+
+    # Select tensor: sel[j, g, rx, n] = 1 iff covered block (j*tnb+n) routes
+    # phase rx to group g. Verify each (block, rx) hits exactly one group.
+    cls_b = plan.x.cls.reshape(nxb, px)
+    roff_b = plan.x.roff.reshape(nxb, px)
+    sel = np.zeros((nt, gmax, px, tnb), dtype=np.float32)
+    for j in range(nt):
+        b0, b1 = j * tnb, min((j + 1) * tnb, nxb)
+        for gi, (rx, cxc, rox) in enumerate(groups[j]):
+            hit = (cls_b[b0:b1, rx] == cxc) & (roff_b[b0:b1, rx] == rox)
+            sel[j, gi, rx, : b1 - b0] = hit
+    cover = sel.sum(axis=1)  # (nt, px, tnb)
+    for j in range(nt):
+        b1 = min((j + 1) * tnb, nxb) - j * tnb
+        assert (cover[j, :, :b1] == 1.0).all(), "variant routing not a partition"
+
+    if precision == "wsplit3":
+        # 3 bf16-exact components (w == c0+c1+c2 exactly), split on device.
+        c0 = w.astype(jnp.bfloat16).astype(f32)
+        r1 = w - c0
+        c1 = r1.astype(jnp.bfloat16).astype(f32)
+        c2 = r1 - c1
+        w = jnp.stack([c0, c1, c2], axis=2)  # (mt, nt, 3, n_d, mp, kp)
+        prec = jax.lax.Precision.DEFAULT
+        wparts = 3
+    else:
+        prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+        wparts = 1
+
+    # Column chunking: C tiles per pallas_call, largest C that fits VMEM.
+    C = nt
+    while C > 1 and (
+        _vmem_bytes(op, plan, C, n_d, mp, kp, hbu_p, gmax, tmo, wparts)
+        > VMEM_BUDGET
+    ):
+        C -= 1
+    n_chunks = -(-nt // C)
+    ext_x_c = base_x + (fs_x - 1) + qx * (tnb * C - 1) + 1
+    wq_c = _round_up(-(-ext_x_c // qx), LANE)
+    # Full-plane residue width: last chunk's slice must stay in bounds.
+    wq_full = tnb * C * (n_chunks - 1) + wq_c
+
+    ileave = interleave or os.environ.get("JINCRESIZE_SEG_INTERLEAVE", "xla")
+    kern = functools.partial(
+        _seg_kernel,
+        ry0=ry0,
+        base_x=base_x,
+        packs=packs,
+        hbu_p=hbu_p,
+        tmo=tmo,
+        gmax=gmax,
+        px=px,
+        qx=qx,
+        tnb=tnb,
+        C=C,
+        precision=prec,
+        interleave=ileave,
+    )
+    w_shape = (
+        (1, C, n_d, mp, kp) if wparts == 1 else (1, C, wparts, n_d, mp, kp)
+    )
+    w_zeros = tuple(0 for _ in range(len(w_shape) - 1))
+    call = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((mt * tmo, C * tno), f32),
+        grid=(mt,),
+        in_specs=[
+            pl.BlockSpec(w_shape, lambda i: (i, *w_zeros)),
+            pl.BlockSpec((C, gmax, px, tnb), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec(
+                (pl.Element(qx), pl.Element(hb), pl.Element(wq_c)),
+                lambda i: (0, ay + qy * tmb * i, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((tmo, C * tno), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((n_d, kp, tnb), f32)],
+        interpret=interpret,
+    )
+
+    # Chunked device tensors. Chunk c holds tiles [c*C, (c+1)*C), zero-padded
+    # to C so every chunk re-enters the same compiled call. The tensors are
+    # returned as fn.params and MUST be passed back as a jit ARGUMENT by the
+    # caller — closure capture would embed ~0.5 GB of weights as program
+    # constants, which the remote-compile transport rejects outright
+    # (HTTP 413) and which would bloat every executable (same trap
+    # apply_conv documents for the strip blocks).
+    w_chunks, sel_chunks, valid_cols = [], [], []
+    w_bytes = int(w.nbytes)
+    for c in range(n_chunks):
+        j0, j1 = c * C, min((c + 1) * C, nt)
+        wc = w[:, j0:j1]
+        if j1 - j0 < C:  # device-side pad: keeps one kernel shape per chunk
+            pad_cfg = [(0, 0), (0, C - (j1 - j0))] + [(0, 0)] * (w.ndim - 2)
+            wc = jnp.pad(wc, pad_cfg)
+        sc = np.zeros((C, gmax, px, tnb), dtype=np.float32)
+        sc[: j1 - j0] = sel[j0:j1]
+        w_chunks.append(wc)
+        sel_chunks.append(jnp.asarray(sc))
+        valid_cols.append(min(tnb * (j1 - j0), nxb - j0 * tnb) * px)
+    del w  # chunks alias/copy the expansion; drop the combined tensor
+
+    def fn(src_f, params, residue=None):
+        w_ch, sel_ch = params
+        if residue is None:
+            residue = residue_planes(src_f, qx, wq_full, ext_y)
+        outs = []
+        for c in range(n_chunks):
+            pl_slice = jax.lax.slice(
+                residue,
+                (0, 0, tnb * C * c),
+                (qx, residue.shape[1], tnb * C * c + wq_c),
+            )
+            out_c = call(w_ch[c], sel_ch[c], pl_slice)
+            if px > 1 and ileave == "xla":
+                R = out_c.shape[0]
+                out_c = (
+                    out_c.reshape(R, C, px, tnb)
+                    .transpose(0, 1, 3, 2)
+                    .reshape(R, C * tno)
+                )
+            outs.append(out_c[: py * nyb, : valid_cols[c]])
+        out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        return out[:, : px * nxb]
+
+    fn.params = (tuple(w_chunks), tuple(sel_chunks))
+    fn.residue_spec = (qx, wq_full, ext_y)
+    fn.tile_info = {
+        "tmb": tmb,
+        "tnb": tnb,
+        "hbu_p": hbu_p,
+        "g": g,
+        "n_dots": n_d,
+        "gmax": gmax,
+        "mp": mp,
+        "chunks": n_chunks,
+        "C": C,
+        "grid": (mt, nt),
+        "w_bytes": w_bytes,
+    }
+    return fn

@@ -189,6 +189,14 @@ def make_sharded_apply(
             return r
         if impl == "conv":
             raise ValueError("sharded conv path: geometry not eligible")
+    if impl in ("auto", "gather"):
+        # Per-device Pallas gather interior (r3 VERDICT missing #3): reuses
+        # kernels/pallas_gather.py the way the conv path embeds the fused
+        # kernel; the fs^2-step scan-gather below remains only as the
+        # fallback for geometries outside the kernel envelope.
+        r = make_sharded_apply_gather(op, mesh, row_axis, data_axis)
+        if r is not None:
+            return r
     n = mesh.shape[row_axis]
     plan = plan_row_shard(op, n)
     fs = op.filter_size
@@ -287,7 +295,270 @@ def make_sharded_apply(
         )
 
     apply_fn.info = {
+        # Scan-gather fallback: only reached when the Pallas band kernel's
+        # envelope declines (make_sharded_apply_gather) — its fs^2-step
+        # element-gather scan is pathological on real TPUs and retained for
+        # correctness coverage, not speed.
+        "interior": "gather-scan",
+        "replicate_src": plan.replicate_src,
+        "hops": (plan.hops_up, plan.hops_dn),
+    }
+    return apply_fn, plan
+
+
+# ---------------------------------------------------------------------------
+# Pallas-gather sharded apply: the general-geometry kernel per device.
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_apply_gather(
+    op: PlaneOperator,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    data_axis: str | None = None,
+):
+    """Row-sharded apply with the Pallas gather kernel per device.
+
+    The general-geometry analog of make_sharded_apply_conv: each device runs
+    kernels/pallas_gather's band kernel on its local source band (own rows +
+    collected halos); border rows/columns are patched with the uniform
+    scan-gather on O(fs) rows/cols. Device-varying metadata (band-local
+    window starts, row classes, kernel-band origins) rides through scalar
+    prefetch; the kernel SHAPE is uniform across the mesh. Returns None when
+    the kernel envelope declines (caller falls back to the scan-gather).
+    """
+    from .kernels import pallas_gather
+
+    if op.pair_blocks.size == 0 or op.filter_size**2 > 1200:
+        return None
+    if op.x_hi <= op.x_lo or op.y_hi <= op.y_lo:
+        return None
+    n = mesh.shape[row_axis]
+    plan = plan_row_shard(op, n)
+    fs = op.filter_size
+    td, ts = plan.dst_rows_per, plan.src_rows_per
+    dst_h, dst_w, src_h = op.dst_height, op.dst_width, op.src_height
+    hu, hd = plan.halo_up, plan.halo_dn
+
+    rows_glob = np.minimum(np.arange(n * td), dst_h - 1)
+    sy_glob = op.start_y.astype(np.int64)[rows_glob]
+    cy_glob = np.clip(
+        op.cy_idx[rows_glob].astype(np.int64), 0, op.pair_blocks.shape[0] - 1
+    )
+    if plan.replicate_src:
+        band_h = ts * n
+        base = np.zeros(n, dtype=np.int64)
+    else:
+        band_h = ts + hu + hd
+        base = np.arange(n, dtype=np.int64) * ts - hu
+    sy_loc = sy_glob.reshape(n, td) - base[:, None]
+    if sy_loc.min() < 0 or int((sy_loc + fs).max()) > band_h:
+        return None  # plan_row_shard guarantees this; defensive
+    backend_tpu = all(d.platform == "tpu" for d in np.asarray(mesh.devices).flat)
+    try:
+        kfn, kmeta = pallas_gather.make_gather_band(
+            op, sy_loc, band_h, interpret=not backend_tpu
+        )
+    except ValueError:
+        return None
+    tm, nb, td_pad = kmeta["tm"], kmeta["nb"], kmeta["n_rows_pad"]
+    nxi, nxi_pad = kmeta["nxi"], kmeta["nxi_pad"]
+
+    if td_pad > td:
+        pad = np.repeat(sy_loc[:, -1:], td_pad - td, axis=1)
+        sy_loc = np.concatenate([sy_loc, pad], axis=1)
+        cy_loc = np.concatenate(
+            [cy_glob.reshape(n, td)]
+            + [np.repeat(cy_glob.reshape(n, td)[:, -1:], td_pad - td, axis=1)],
+            axis=1,
+        )
+    else:
+        cy_loc = cy_glob.reshape(n, td)
+    y0 = np.zeros((n, nb), dtype=np.int64)
+    for b in range(nb):
+        y0[:, b] = sy_loc[:, b * tm : (b + 1) * tm].min(axis=1)
+    syloc_rel = sy_loc - np.repeat(y0, tm, axis=1)
+    assert int((syloc_rel + fs).max()) <= kmeta["bh"]
+
+    # Expanded class planes: computed on device once, passed as an argument
+    # (P(None)) so the sharded jit never embeds the n_ux-fold table.
+    expand, wt, nxi_pad_w, _fs2p = pallas_gather.expand_weight_planes(op)
+    assert nxi_pad_w == nxi_pad
+    wx = expand(wt)
+
+    # Patch metadata (border rows per device, border columns everywhere) —
+    # same mechanism as the conv path's strip patches.
+    blocks_all, bid = build_uniform(op)
+    patch_rows_per_dev = []
+    for d in range(n):
+        r0, r1 = d * td, min((d + 1) * td, dst_h)
+        rows = [r for r in range(r0, r1) if r < op.y_lo or r >= op.y_hi]
+        patch_rows_per_dev.append(rows)
+    k_max = max(1, max(len(r) for r in patch_rows_per_dev))
+    idx_rows = np.zeros((n, k_max), dtype=np.int32)
+    for d, rows in enumerate(patch_rows_per_dev):
+        fill = rows if rows else [min(d * td, dst_h - 1)]
+        for k in range(k_max):
+            idx_rows[d, k] = fill[k] if k < len(fill) else fill[-1]
+    cols = sorted(set(range(0, op.x_lo)) | set(range(op.x_hi, dst_w)))
+    cols_np = np.asarray(cols if cols else [0], dtype=np.int32)
+
+    start_y_p = np.zeros(td * n, dtype=np.int32)
+    start_y_p[: dst_h] = op.start_y
+    start_y_p[dst_h:] = op.start_y[dst_h - 1]
+    bid_p = np.zeros((td * n, dst_w), dtype=np.int32)
+    bid_p[:dst_h] = bid
+
+    blocks_d = jnp.asarray(blocks_all)
+    start_x_d = jnp.asarray(op.start_x)
+    start_x_cols = jnp.asarray(op.start_x[cols_np])
+    bid_cols_d = jnp.asarray(bid_p[:, cols_np])
+    start_y_d = jnp.asarray(start_y_p)
+    idx_rows_d = jnp.asarray(idx_rows.reshape(n * k_max))
+    sy_rows_d = jnp.asarray(op.start_y[np.minimum(idx_rows.reshape(-1), dst_h - 1)])
+    bid_rows_d = jnp.asarray(bid[np.minimum(idx_rows.reshape(-1), dst_h - 1)])
+    syloc_d = jnp.asarray(syloc_rel.reshape(-1).astype(np.int32))
+    cy_d = jnp.asarray(cy_loc.reshape(-1).astype(np.int32))
+    y0_d = jnp.asarray(y0.reshape(-1).astype(np.int32))
+    cols_j = jnp.asarray(cols_np)
+    axis = row_axis
+    xlo = op.x_lo
+
+    def shard_fn(
+        src_local,  # (ts, W)
+        syloc_l,  # (td_pad,)
+        cy_l,  # (td_pad,)
+        y0_l,  # (nb,)
+        start_y_local,  # (td,)
+        bid_cols_local,  # (td, ncols)
+        idx_rows_local,  # (k_max,)
+        sy_rows_local,  # (k_max,)
+        bid_rows_local,  # (k_max, dst_w)
+        start_x,
+        start_x_c,
+        blocks,
+        wxp,
+    ):
+        d = jax.lax.axis_index(axis)
+        if plan.replicate_src:
+            band = jax.lax.all_gather(src_local, axis, axis=0, tiled=True)
+            base_l = jnp.int32(0)
+        else:
+            parts = []
+            for i in range(plan.hops_up, 0, -1):
+                perm = [(s, (s + i) % n) for s in range(n)]
+                rows = hu - (i - 1) * ts if i == plan.hops_up else ts
+                parts.append(jax.lax.ppermute(src_local[-rows:], axis, perm))
+            parts.append(src_local)
+            for i in range(1, plan.hops_dn + 1):
+                perm = [(s, (s - i) % n) for s in range(n)]
+                rows = hd - (i - 1) * ts if i == plan.hops_dn else ts
+                parts.append(jax.lax.ppermute(src_local[:rows], axis, perm))
+            band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src_local
+            base_l = d * ts - hu
+
+        interior = kfn(band, syloc_l, cy_l, y0_l, wxp)  # (td_pad, nxi_pad)
+        canvas = jnp.zeros((td, dst_w), dtype=f32)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, interior[:td, :nxi], (0, xlo)
+        )
+        vary = (axis,) if data_axis is None else (data_axis, axis)
+        vals_r = _local_apply(
+            band,
+            sy_rows_local - base_l,
+            start_x,
+            bid_rows_local,
+            blocks,
+            fs,
+            vary_axes=vary,
+        )
+        canvas = canvas.at[idx_rows_local - d * td].set(vals_r)
+        vals_c = _local_apply(
+            band,
+            start_y_local - base_l,
+            start_x_c,
+            bid_cols_local,
+            blocks,
+            fs,
+            vary_axes=vary,
+        )
+        canvas = canvas.at[:, cols_j].set(vals_c)
+        return canvas
+
+    in_specs = (
+        P(axis, None),
+        P(axis),
+        P(axis),
+        P(axis),
+        P(axis),
+        P(axis, None),
+        P(axis),
+        P(axis),
+        P(axis, None),
+        P(None),
+        P(None),
+        P(None),
+        P(None),
+    )
+    if data_axis is not None:
+
+        def shard_fn_b(src_local, *rest):
+            return jax.vmap(lambda s: shard_fn(s, *rest))(src_local)
+
+        fn = jax.shard_map(
+            shard_fn_b,
+            mesh=mesh,
+            in_specs=(P(data_axis, axis, None),) + in_specs[1:],
+            out_specs=P(data_axis, axis, None),
+            check_vma=False,
+        )
+    else:
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+
+    @partial(jax.jit, static_argnames=("out_dtype", "peak", "float_clamp_min"))
+    def _jitted(src, wxp, out_dtype=jnp.float32, peak=None, float_clamp_min=None):
+        from .apply_xla import finalize
+
+        src = src.astype(f32)
+        if float_clamp_min is not None:
+            src = jnp.maximum(src, jnp.float32(float_clamp_min))
+        batched = src.ndim == 3
+        pad_rows = ts * n - src_h
+        pad_cfg = [(0, pad_rows), (0, 0)]
+        if batched:
+            pad_cfg = [(0, 0)] + pad_cfg
+        src_p = jnp.pad(src, pad_cfg)
+        out = fn(
+            src_p,
+            syloc_d,
+            cy_d,
+            y0_d,
+            start_y_d,
+            bid_cols_d,
+            idx_rows_d,
+            sy_rows_d,
+            bid_rows_d,
+            start_x_d,
+            start_x_cols,
+            blocks_d,
+            wxp,
+        )
+        return finalize(out[..., :dst_h, :], out_dtype, peak)
+
+    def apply_fn(src, out_dtype=jnp.float32, peak=None, float_clamp_min=None):
+        return _jitted(
+            src, wx, out_dtype=out_dtype, peak=peak, float_clamp_min=float_clamp_min
+        )
+
+    apply_fn.info = {
         "interior": "gather",
+        "tiles": kfn.tile_info,
         "replicate_src": plan.replicate_src,
         "hops": (plan.hops_up, plan.hops_dn),
     }

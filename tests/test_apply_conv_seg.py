@@ -1,0 +1,157 @@
+"""Segment-periodic conv path: planner structure + kernel parity.
+
+The bit-parity MXU answer to float32 position drift (r3 VERDICT missing #1):
+non-integer rational upscales under pos_precision='f32' fragment into class
+staircases that the plain phase planner rejects. These tests pin the
+planner's structural claims (measured drift shapes, exceptions, spreads) and
+the kernel's 1-LSB parity against the scalar-semantics golden oracle — the
+same tolerance class as the reference's own C-vs-SIMD paths
+(JincResize.cpp:536-601).
+"""
+
+import numpy as np
+import pytest
+
+from jincresize_tpu.apply_conv_seg import SegConvApplier
+from jincresize_tpu.golden import apply_plane_numpy
+from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+from jincresize_tpu.phase import plan_phases, plan_phases_seg
+
+
+@pytest.fixture(scope="module")
+def op_15x():
+    """1.5x tap8 — genuinely drifted at this size (10 x / 5 y class steps)."""
+    return build_plane_operator(640, 360, 960, 540, radius_for_tap(8))
+
+
+def test_planner_finds_drifted_structure(op_15x):
+    """plan_phases rejects the drifted 1.5x geometry; plan_phases_seg does
+    not — and recovers the ideal (p=3, q=2) start pattern with zero
+    exceptions and genuine class drift."""
+    assert plan_phases(op_15x) is None
+    plan = plan_phases_seg(op_15x)
+    assert plan is not None
+    for ax in (plan.x, plan.y):
+        assert (ax.p, ax.q) == (3, 2)
+        assert len(ax.exceptions) == 0
+        assert ax.spread <= 2
+    # The class sequence must match the operator's dictionary indices
+    # verbatim (bit parity depends on using the TRUE drifted classes).
+    np.testing.assert_array_equal(
+        plan.x.cls, op_15x.cx_idx[plan.x.lo : plan.x.hi]
+    )
+    # Drift present: at least one per-residue class step on x.
+    cls = plan.x.cls.reshape(plan.x.nblocks, plan.x.p)
+    assert (np.diff(cls, axis=0) != 0).any()
+
+
+def test_planner_start_model_is_exact(op_15x):
+    """start[k] == base + q*block + roff[k] on every covered coordinate."""
+    plan = plan_phases_seg(op_15x)
+    for ax, start in ((plan.x, op_15x.start_x), (plan.y, op_15x.start_y)):
+        k = np.arange(ax.hi - ax.lo)
+        model = ax.base + ax.q * (k // ax.p) + ax.roff.astype(np.int64)
+        np.testing.assert_array_equal(model, start[ax.lo : ax.hi])
+
+
+def test_planner_rejects_aperiodic():
+    """An irrational-equivalent ratio has no small-p start structure."""
+    op = build_plane_operator(400, 220, 601, 331, radius_for_tap(3))
+    assert plan_phases_seg(op) is None
+
+
+def test_planner_accepts_exactly_periodic():
+    """Zero drift is the degenerate case: seg planning must still work (the
+    impl='seg' selector forces this engine on any conv-eligible geometry)."""
+    op = build_plane_operator(64, 48, 128, 96, radius_for_tap(3))
+    assert plan_phases(op) is not None
+    plan = plan_phases_seg(op)
+    assert plan is not None
+    assert len(plan.x.exceptions) == 0 and len(plan.y.exceptions) == 0
+
+
+def test_seg_parity_u8(op_15x):
+    """Drifted 1.5x tap8, u8: kernel (interpret) vs golden within 1 LSB."""
+    app = SegConvApplier(op_15x, interpret=True)
+    assert app.interior == "fused-seg"
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, (360, 640)).astype(np.uint8)
+    out = np.asarray(app(src, out_dtype=np.uint8, peak=255))
+    ref = apply_plane_numpy(op_15x, src, out_dtype=np.uint8, peak=255)
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_seg_parity_u8src_mode_and_batch(op_15x):
+    """wsplit3 fast-exact mode (u8 sources) + frame batch via vmap."""
+    app = SegConvApplier(op_15x, precision="fp32_u8src", interpret=True)
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (2, 360, 640)).astype(np.uint8)
+    out = np.asarray(app(src, out_dtype=np.uint8, peak=255))
+    assert out.shape == (2, 540, 960)
+    ref = np.stack(
+        [apply_plane_numpy(op_15x, s, out_dtype=np.uint8, peak=255) for s in src]
+    )
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_seg_parity_float_output(op_15x):
+    """fp32 output path: accumulation-order tolerance only."""
+    app = SegConvApplier(op_15x, interpret=True)
+    rng = np.random.default_rng(2)
+    src = rng.random((360, 640), dtype=np.float32)
+    out = np.asarray(app(src))
+    ref = apply_plane_numpy(op_15x, src)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)
+
+
+def test_seg_parity_with_exceptions():
+    """2.5x wide plane: start-offset outliers exercise the exception fixup
+    (4 exception columns at this geometry, host-verified in planning)."""
+    op = build_plane_operator(1920, 80, 4800, 200, radius_for_tap(2))
+    plan = plan_phases_seg(op)
+    assert plan is not None and len(plan.x.exceptions) > 0
+    app = SegConvApplier(op, interpret=True)
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 256, (80, 1920)).astype(np.uint8)
+    out = np.asarray(app(src, out_dtype=np.uint8, peak=255))
+    ref = apply_plane_numpy(op, src, out_dtype=np.uint8, peak=255)
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_variant_routing_is_partition(op_15x):
+    """Every covered (block, phase) routes to exactly one variant group —
+    asserted at build time; this test pins that the build runs the check."""
+    from jincresize_tpu.kernels import pallas_fused_seg
+
+    plan = plan_phases_seg(op_15x)
+    fn = pallas_fused_seg.make_seg_interior(op_15x, plan, interpret=True)
+    assert fn.tile_info["gmax"] >= plan.x.p  # at least one group per phase
+
+
+def test_api_impl_seg_engine():
+    """impl='seg' forces the segment-periodic engine end to end."""
+    from jincresize_tpu.api import jinc_resize
+    from jincresize_tpu.clip import Clip, gray, random_frame
+
+    clip = Clip.from_frames([random_frame(gray(8), 64, 48, seed=7)])
+    from jincresize_tpu.api import JincConfig, JincResizer
+
+    cfg = JincConfig(target_width=96, target_height=72, tap=3, impl="seg")
+    r = JincResizer(clip.format, 64, 48, cfg)
+    assert r.engines["luma"] == "fused-seg"
+    out = r(clip)
+    ref = jinc_resize(clip, 96, 72, tap=3, impl="numpy")
+    d = np.abs(
+        out.frames[0].planes["Y"].astype(int)
+        - ref.frames[0].planes["Y"].astype(int)
+    )
+    assert int(d.max()) <= 1
+
+
+def test_api_impl_seg_rejects_aperiodic():
+    from jincresize_tpu.api import JincConfig, JincError, JincResizer
+    from jincresize_tpu.clip import gray
+
+    cfg = JincConfig(target_width=601, target_height=331, tap=3, impl="seg")
+    with pytest.raises(JincError, match="segment-periodic"):
+        JincResizer(gray(8), 400, 220, cfg)

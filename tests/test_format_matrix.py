@@ -116,6 +116,67 @@ def test_u16_overshoot_clamp():
     assert (ref == 0).any() and (ref == 65535).any()
 
 
+def test_alpha_float_clamp_quirk():
+    """The ALPHA float-clamp quirk (ROADMAP 15 / r3 VERDICT weak #7): the
+    SIMD kernels pick the source clamp by plane INDEX — ``(i && !is_rgb) ?
+    -0.5 : 0.0`` (resize_plane_avx2.cpp:24) — so a YUVA float ALPHA plane
+    (i=3) gets the CHROMA clamp of -0.5, not the 0.0 a full-range plane
+    would suggest, while RGBA alpha gets 0.0. Pinned by resampling an alpha
+    plane holding values in (-0.5, 0): they must survive (not be zeroed)
+    for YUVA and be zeroed for RGBA."""
+    from jincresize_tpu.clip import Frame, rgbp
+
+    rng = np.random.default_rng(6)
+    alpha = (rng.random((24, 32), dtype=np.float32) * 0.4 - 0.45).astype(
+        np.float32
+    )  # all in (-0.45, -0.05): between the two clamp levels
+    pos = rng.random((24, 32), dtype=np.float32)
+
+    fmt_yuva = yuv444p(32, alpha=True)
+    planes = {"Y": pos, "U": pos, "V": pos, "A": alpha}
+    clip = Clip.from_frames([Frame(format=fmt_yuva, planes=planes)])
+    out_a = jinc_resize(clip, 64, 48).frames[0].planes["A"]
+    # -0.5 clamp: the negative alpha values pass through the resampler.
+    assert out_a.min() < -0.05, "YUVA alpha was clamped at 0 (expected -0.5)"
+
+    fmt_rgba = rgbp(32, alpha=True)
+    planes_r = {"G": pos, "B": pos, "R": pos, "A": alpha}
+    clip_r = Clip.from_frames([Frame(format=fmt_rgba, planes=planes_r)])
+    out_ra = jinc_resize(clip_r, 64, 48).frames[0].planes["A"]
+    # RGB family: min_val = 0.0 for every plane index — alpha zeroes out.
+    assert out_ra.min() >= -1e-6 and out_ra.max() <= 1e-6
+
+
+def test_u16_subpeak_overshoot_simd_vs_c():
+    """The 9..15-bit overshoot clamp difference (ROADMAP 15 / r3 VERDICT
+    weak #7): the C kernel clamps integer stores at ``peak``
+    (JincResize.cpp:581-584), but the SIMD u16 stores saturate at the TYPE
+    max via ``_mm_packus_epi32`` (resize_plane_avx2.cpp:89) — so 10-bit
+    ringing overshoot exceeds peak=1023 on the reference's default dispatch.
+    The rebuild mirrors the dispatch: opt!=0 (default) -> type-max
+    saturation on device engines; opt=0 and the host golden -> peak clamp."""
+    from jincresize_tpu.clip import Frame
+
+    fmt = gray(10)
+    img = np.zeros((32, 48), np.uint16)
+    img[:, 24:] = 1023  # hard edge at 10-bit peak -> ringing overshoot
+    clip = Clip.from_frames([Frame(format=fmt, planes={"Y": img})])
+    simd = jinc_resize(clip, 96, 64, tap=8).frames[0].planes["Y"]
+    c_dev = jinc_resize(clip, 96, 64, tap=8, opt=0).frames[0].planes["Y"]
+    c_host = (
+        jinc_resize(clip, 96, 64, tap=8, opt=0, impl="numpy")
+        .frames[0]
+        .planes["Y"]
+    )
+    assert int(simd.max()) > 1023, "SIMD semantics must overshoot past peak"
+    assert int(c_dev.max()) <= 1023 and int(c_host.max()) <= 1023
+    # Away from the overshoot band the two dispatches agree.
+    inside = (simd <= 1023) & (c_dev <= 1023)
+    assert np.abs(
+        simd[inside].astype(int) - c_dev[inside].astype(int)
+    ).max() <= 1
+
+
 def test_alpha_f32_uses_luma_operator():
     """Alpha planes resample with out[0] (the luma operator) even for
     subsampled formats (resize_plane kernels' table select)."""

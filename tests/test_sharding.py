@@ -137,6 +137,36 @@ def test_sharded_conv_data_axis(mesh_2x4):
     assert np.abs(out - ref).max() <= 1e-6
 
 
+def test_sharded_gather_pallas_interior(mesh8):
+    """The sharded gather path runs the Pallas band kernel per device (r3
+    VERDICT missing #3), not the fs^2-step scan-gather: info reports the
+    kernel tiles and parity holds against the scalar oracle."""
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
+    fn, _plan = make_sharded_apply(op, mesh8, impl="gather")
+    assert fn.info["interior"] == "gather" and "tiles" in fn.info
+    src = np.random.default_rng(11).random((72, 96)).astype(np.float32)
+    out = np.asarray(fn(src))
+    ref = apply_plane_numpy(op, src)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)
+
+
+def test_sharded_gather_scan_fallback(mesh8):
+    """Geometries outside the band kernel envelope (fs^2 > 1200: tap16 deep
+    downscale) still run via the uniform scan-gather fallback."""
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(240, 168, 80, 56, radius_for_tap(16))
+    assert op.filter_size**2 > 1200
+    fn, _plan = make_sharded_apply(op, mesh8, impl="gather")
+    assert fn.info["interior"] == "gather-scan"
+    src = np.random.default_rng(12).random((168, 240)).astype(np.float32)
+    out = np.asarray(fn(src))
+    ref = apply_plane_numpy(op, src)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)
+
+
 def test_sharded_applier_u8_u16_batched(mesh_2x4):
     """Productized sharded path: in-jit finalize, u8/u16 parity, batched
     frames over the data axis, interior observability (VERDICT r2 item 3)."""
@@ -144,7 +174,7 @@ def test_sharded_applier_u8_u16_batched(mesh_2x4):
 
     op = build_plane_operator(96, 72, 160, 120, radius_for_tap(3))
     ap = ShardedApplier(op, mesh_2x4)
-    assert ap.interior in ("conv-fused", "conv-shift", "gather")
+    assert ap.interior in ("conv-fused", "conv-shift", "gather", "gather-scan")
     rng = np.random.default_rng(5)
     # u8, batch of 3 (not divisible by the data axis of 2 -> pad path).
     src8 = rng.integers(0, 256, (3, 72, 96)).astype(np.uint8)

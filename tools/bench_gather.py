@@ -37,7 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--impl", default="gather", choices=["gather", "xla", "auto"])
+    ap.add_argument(
+        "--impl", default="gather", choices=["gather", "xla", "auto", "seg"]
+    )
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--geometry", default="2x", choices=["2x", "1.5x"])
     ap.add_argument("--pos-precision", default="f32", choices=["f32", "f64"])
@@ -89,6 +91,12 @@ def main():
         from jincresize_tpu.apply_gather import GatherApplier
 
         app = GatherApplier(op)
+        print(f"# tiles: {app.tile_info}", file=sys.stderr)
+        fn = app
+    elif args.impl == "seg":
+        from jincresize_tpu.apply_conv_seg import SegConvApplier
+
+        app = SegConvApplier(op)
         print(f"# tiles: {app.tile_info}", file=sys.stderr)
         fn = app
     elif args.impl == "auto":
