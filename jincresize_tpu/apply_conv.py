@@ -142,6 +142,67 @@ def _strip_values(dop: DevicePlaneOperator, src_f, s) -> jax.Array:
     return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32)
 
 
+def _strip_values_banded(
+    dop: DevicePlaneOperator,
+    src_f,
+    s,
+    y_min: int,
+    band_h: int,
+    const_sy: bool = False,
+) -> jax.Array:
+    """_strip_values over a statically-sliced source row band.
+
+    The plain form's horizontal im2col ``src_f[:, cols]`` materializes a
+    (src_h, nx, fs) gather — ~200 MB per full-width strip at 1080p-class
+    sizes — although a strip's windows touch only ~fs+span rows. Static
+    (y_min, band_h) come from the HOST operator's start_y (appliers compute
+    them at init); the gather shrinks by src_h/band_h (~50x), which took the
+    seg applier's measured non-interior overhead from ~5.9 ms/frame to the
+    noise floor at 1.5x 1080p tap8.
+    """
+    fs = dop.filter_size
+    H, W = src_f.shape
+    band_h = min(band_h, H - y_min)
+    band = jax.lax.slice(src_f, (y_min, 0), (y_min + band_h, W))
+    taps = jnp.arange(fs, dtype=jnp.int32)
+    cols = jnp.clip(dop.start_x[s.x0 : s.x1][:, None] + taps[None, :], 0, W - 1)
+    P = band[:, cols]  # (band_h, nx, fs)
+    if const_sy:
+        # Every strip row shares one window start (always true for the
+        # clamped top/bottom border strips: begins pin at 0 / src_h-fs) —
+        # the vertical tap pick is a static slice, not a gather.
+        return jnp.einsum(
+            "kxl,yxkl->yx",
+            jax.lax.slice(P, (0, 0, 0), (fs,) + P.shape[1:]),
+            s.blocks,
+            preferred_element_type=f32,
+        )
+    rows = jnp.clip(
+        dop.start_y[s.y0 : s.y1][:, None] + taps[None, :] - y_min,
+        0,
+        band_h - 1,
+    )
+    G = P[rows]  # (ny, k, nx, l)
+    return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32)
+
+
+def strip_row_bands(op: PlaneOperator) -> dict:
+    """Static (y_min, band_h, const_sy) per strip rect, from host start_y."""
+    import numpy as np
+
+    fs = op.filter_size
+    out = {}
+    for s in op.strips:
+        sy = np.asarray(op.start_y[s.y0 : s.y1], dtype=np.int64)
+        y_min = int(sy.min())
+        out[(s.y0, s.y1, s.x0, s.x1)] = (
+            y_min,
+            int(sy.max()) - y_min + fs,
+            bool((sy == sy[0]).all()),
+        )
+    return out
+
+
 def apply_strips(dop: DevicePlaneOperator, src_f, canvas) -> jax.Array:
     for s in dop.strips:
         vals = _strip_values(dop, src_f, s)

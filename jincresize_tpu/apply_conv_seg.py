@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .apply_conv import _cols_subset, _rows_subset, _strip_values
+from .apply_conv import (
+    _cols_subset,
+    _rows_subset,
+    _strip_values_banded,
+    strip_row_bands,
+)
 from .apply_xla import finalize, to_device
 from .operator import PlaneOperator
 
@@ -71,8 +76,29 @@ class SegConvApplier:
         # remote-compile transport rejects such payloads with HTTP 413).
         self._params = self._interior_fn.params
         self._dop = to_device(op)
+        self._strip_bands = strip_row_bands(op)
         self._exc_x = jnp.asarray(plan.x.exceptions.astype(np.int32))
         self._exc_y = jnp.asarray(plan.y.exceptions.astype(np.int32))
+        # Single-concatenate assembly is valid when the strips exactly frame
+        # the plan-covered interior and nothing needs a fixup overwrite.
+        ylo, xlo, yhi, xhi = plan.y.lo, plan.x.lo, plan.y.hi, plan.x.hi
+        H, W = op.dst_height, op.dst_width
+        rects = {(s.y0, s.y1, s.x0, s.x1) for s in op.strips}
+        expected = set()
+        if ylo > 0:
+            expected.add((0, ylo, 0, W))
+        if yhi < H:
+            expected.add((yhi, H, 0, W))
+        if xlo > 0:
+            expected.add((ylo, yhi, 0, xlo))
+        if xhi < W:
+            expected.add((ylo, yhi, xhi, W))
+        self._concat = (
+            rects == expected
+            and len(rects) == len(op.strips)
+            and len(plan.x.exceptions) == 0
+            and len(plan.y.exceptions) == 0
+        )
         self._jit = jax.jit(
             self._apply, static_argnames=("out_dtype", "peak", "float_clamp_min")
         )
@@ -84,6 +110,29 @@ class SegConvApplier:
         ylo, xlo = plan.y.lo, plan.x.lo
         yhi, xhi = plan.y.hi, plan.x.hi
         interior = self._interior_fn(src_f, params)  # (yhi-ylo, xhi-xlo)
+        strips = {
+            (s.y0, s.y1, s.x0, s.x1): _strip_values_banded(
+                dop, src_f, s, *self._strip_bands[(s.y0, s.y1, s.x0, s.x1)]
+            )
+            for s in dop.strips
+        }
+        if self._concat:
+            # Strips frame the interior and there are no exceptions: one
+            # concatenate, no canvas zeros + 5 full-plane update passes.
+            mid = [
+                strips.get((ylo, yhi, 0, xlo)),
+                interior,
+                strips.get((ylo, yhi, xhi, W)),
+            ]
+            mid = [m for m in mid if m is not None]
+            mid = jnp.concatenate(mid, axis=1) if len(mid) > 1 else mid[0]
+            rows = [
+                strips.get((0, ylo, 0, W)),
+                mid,
+                strips.get((yhi, H, 0, W)),
+            ]
+            rows = [r for r in rows if r is not None]
+            return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
         canvas = jnp.zeros((H, W), dtype=f32)
         canvas = jax.lax.dynamic_update_slice(canvas, interior, (ylo, xlo))
         # Exceptions: start-offset outliers + trailing partial periods. Same
@@ -95,7 +144,7 @@ class SegConvApplier:
             vals = _rows_subset(dop, src_f, self._exc_y)
             canvas = canvas.at[self._exc_y, :].set(vals)
         for s in dop.strips:
-            vals = _strip_values(dop, src_f, s)
+            vals = strips[(s.y0, s.y1, s.x0, s.x1)]
             canvas = jax.lax.dynamic_update_slice(canvas, vals, (s.y0, s.x0))
         return canvas
 

@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .apply_conv import _strip_values
+from .apply_conv import _strip_values_banded, strip_row_bands
 from .apply_xla import finalize, to_device
 from .operator import PlaneOperator
 
@@ -49,6 +49,7 @@ class GatherApplier:
         )
         self.tile_info = self._interior_fn.tile_info
         self._dop = to_device(op)
+        self._strip_bands = strip_row_bands(op)
         ylo, yhi, xlo, xhi = op.y_lo, op.y_hi, op.x_lo, op.x_hi
         H, W = op.dst_height, op.dst_width
         # Strips frame the interior exactly (builder emits top/bottom full
@@ -76,7 +77,9 @@ class GatherApplier:
         interior = self._interior_fn(src_f)  # (F, nyi, nxi)
         by_rect = {
             (s.y0, s.y1, s.x0, s.x1): jax.vmap(
-                lambda sf, s=s: _strip_values(dop, sf, s)
+                lambda sf, s=s, b=self._strip_bands[
+                    (s.y0, s.y1, s.x0, s.x1)
+                ]: _strip_values_banded(dop, sf, s, *b)
             )(src_f)
             for s in dop.strips
         }
