@@ -18,6 +18,7 @@ TPU-native differences (by design, SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 
 import numpy as np
@@ -173,7 +174,16 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
         except ValueError:
             return None
 
-    def try_seg():
+    def try_seg(auto: bool = False):
+        # Automatic selection gates on output size: the seg engine's
+        # construction (device weight expansion + kernel compile) costs
+        # minutes through a remote-tunnel deployment, which only pays for
+        # itself on large planes (the gather kernel handles small ones in
+        # microseconds). Explicit impl='seg' always builds it.
+        if auto and op.dst_width * op.dst_height < int(
+            os.environ.get("JINCRESIZE_SEG_MIN_PIXELS", str(1 << 21))
+        ):
+            return None
         try:
             return SegConvApplier(op, precision=precision, interpret=not on_tpu)
         except ValueError:
@@ -221,7 +231,7 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
         if plan is not None and pallas_fused.is_supported(op, plan):
             app = ConvApplier(op, plan=plan, interior="fused", precision=precision)
             return app, "fused"
-        app = try_seg()
+        app = try_seg(auto=True)
         if app is not None:
             return app, "fused-seg"
         app = try_gather()
@@ -239,7 +249,7 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
     if app is not None:
         return app, app.interior
     if on_tpu:
-        app = try_seg()
+        app = try_seg(auto=True)
         if app is not None:
             return app, "fused-seg"
         app = try_gather()

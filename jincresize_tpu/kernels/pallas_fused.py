@@ -184,7 +184,7 @@ def _fused_kernel(
     wparts = w_ref.shape[0] if w_ref.ndim == 4 else 1
     tmo = (w_ref.shape[2] if w_ref.ndim == 4 else w_ref.shape[1]) // px
     tno = tnb * px
-    if px > 1 and interleave != "store":
+    if px > 1 and interleave not in ("store", "xla"):
         rows = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tnb, tno), 1)
         es = [(cols == px * rows + rx).astype(f32) for rx in range(px)]
@@ -250,6 +250,14 @@ def _fused_kernel(
         accs = [acc_cat[rx * tmo : (rx + 1) * tmo] for rx in range(px)]
         if px == 1:
             out_ref[:, j * tno : (j + 1) * tno] = accs[0]
+        elif interleave == "xla":
+            # Phase-PLANE stores; the wrapper interleaves with one XLA
+            # minor-dim transpose (same trade as pallas_fused_seg: skips
+            # the MXU scatter dots at the cost of an extra HBM pass).
+            for rx in range(px):
+                out_ref[
+                    :, j * tno + rx * tnb : j * tno + (rx + 1) * tnb
+                ] = accs[rx]
         elif interleave == "store":
             # Lane-strided stores: no extra FLOPs, but unsupported by current
             # Mosaic ("last dim size is not 128 in original base memref") —
@@ -402,8 +410,10 @@ def make_fused_interior(
         tnb=tnb,
         nt=nt,
         precision=prec,
-        interleave=interleave
-        or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "split3"),
+        interleave=(
+            interleave
+            or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "split3")
+        ),
     )
     # Source is shipped as qx residue planes (deinterleaved by XLA outside
     # the kernel) so in-kernel window slices are always lane-contiguous.
@@ -428,6 +438,8 @@ def make_fused_interior(
         interpret=interpret,
     )
 
+    ileave = interleave or os.environ.get("JINCRESIZE_FUSED_INTERLEAVE", "split3")
+
     def fn(src_f, residue=None):
         # ``residue``: optional pre-built residue planes (qx, Hp, wqs) with
         # Hp >= ext_y and wqs >= wq (ROADMAP 6 shared deinterleave — the
@@ -436,6 +448,13 @@ def make_fused_interior(
         if residue is None:
             residue = residue_planes(src_f, qx, wq, ext_y)
         out = call(w_dev, residue)
+        if px > 1 and ileave == "xla":
+            R = out.shape[0]
+            out = (
+                out.reshape(R, nt, px, tnb)
+                .transpose(0, 1, 3, 2)
+                .reshape(R, nt * tno)
+            )
         return out[: py * nyb, : px * nxb]
 
     fn.residue_spec = (qx, wq, ext_y)

@@ -151,6 +151,30 @@ def test_cli_clip_npy_gray(tmp_path):
     assert out.shape == (2, 30, 40) and out.dtype == np.uint8
 
 
+def test_distributed_entry_point():
+    """init_distributed is a no-op without cluster coordinates (single-host
+    usage must never block on a coordinator); global_mesh builds the
+    ('data', 'rows') mesh over all visible devices."""
+    import os
+
+    from jincresize_tpu.distributed import global_mesh, init_distributed
+
+    for v in (
+        "JINCRESIZE_COORDINATOR",
+        "JINCRESIZE_NUM_PROCESSES",
+        "JINCRESIZE_PROCESS_ID",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        assert v not in os.environ or v.startswith("JINCRESIZE"), v
+    init_distributed()  # must return immediately (no scheduler env)
+    import jax
+
+    mesh = global_mesh()
+    assert mesh.axis_names == ("data", "rows")
+    assert mesh.shape["rows"] == len(jax.devices())
+
+
 def test_declared_dependencies_cover_runtime_imports():
     """Every third-party root module imported anywhere in the package must be
     declared in pyproject (r3 VERDICT missing #4: scipy is a hard runtime

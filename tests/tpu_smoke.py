@@ -35,6 +35,11 @@ CASES = [
     # still run with XLA strips.
     ("f64 8/3-by-4/3 px=8", 360, 240, 960, 320, 4, 8,
      {"src_left": 0.3, "src_top": 0.3, "pos_precision": "f64"}),
+    # Segment-periodic engine (r4): genuinely drifted 1.5x under PARITY
+    # positions (10 x / 5 y class staircase steps at this size), forced via
+    # impl='seg' (auto gates small outputs to the gather path because seg
+    # construction compiles a per-geometry kernel).
+    ("seg 1.5x drifted parity", 640, 360, 960, 540, 8, 8, {"impl": "seg"}),
 ]
 
 

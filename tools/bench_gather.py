@@ -12,13 +12,20 @@ forces the general kernel onto it, which is weight-layout-equivalent to
 the aperiodic case (per-row class planes, no periodicity assumption).
 
 --geometry 1.5x measures the genuinely quasi-periodic regime (1.5x upscale
-with sub-pixel crop: f32 position drift fragments the phase pattern, so
-impl=auto lands on the gather kernel). --pos-precision f64 measures the
-drift-free geometry mode on the same request: the geometry becomes exactly
-periodic (p=3) and impl=auto runs the fused MXU conv path instead —
-measured r3 (v5e, 8 frames, 1920x1080->2880x1620 tap8 crop 0.3): f32+gather
-12.21 ms/frame (dict 675 blocks) vs f64+auto(fused) 1.43 ms/frame (dict 9
-blocks) — 8.5x for the same resize request.
+with sub-pixel crop: f32 position drift fragments the phase pattern).
+Measured v5e, 8 frames, 1920x1080->2880x1620 tap8 (on-device loop):
+
+  * r3 parity baseline, gather kernel:      12.21 ms/frame
+  * r4 parity, --impl seg (or auto): the segment-periodic fused engine
+    (kernels/pallas_fused_seg.py) runs the TRUE drifted operator on the
+    MXU — measured 3.09 ms/frame on this tool's crop-0.3 config (auto
+    selects fused-seg; dict 675 blocks) and 3.03 ms/frame without the
+    crop (interior-only 2.63) — 4.0x the gather kernel at identical 1-LSB
+    parity. Progression recorded in ROADMAP 18: 8.61 first cut -> 5.89
+    banded strips -> 5.06 concat assembly -> 3.03 sliced-window strip
+    im2col.
+  * --pos-precision f64 (documented non-parity): exactly periodic (p=3),
+    plain fused conv path, 1.43 ms/frame (r3).
 
 Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla|auto]
                                     [--geometry 2x|1.5x] [--pos-precision f32|f64]
@@ -126,17 +133,37 @@ def main():
 
     R = 4
 
-    @jax.jit
-    def looped(s):
-        def it(i, acc):
-            return acc + jnp.sum(fn(s + i * jnp.float32(1e-9)))
+    # Engines holding big device params (the seg applier's expanded weights)
+    # must receive them as ARGUMENTS of the timing jit: wrapping the applier
+    # call in an outer jit would re-capture them as program constants, which
+    # the remote-compile transport rejects (HTTP 413).
+    params = getattr(fn, "_params", None)
+    if params is not None:
+        inner = fn._apply
 
-        return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+        @jax.jit
+        def looped_p(p, s):
+            def it(i, acc):
+                return acc + jnp.sum(inner(p, s + i * jnp.float32(1e-9)))
 
-    float(looped(src))
+            return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+
+        run_loop = lambda: float(looped_p(params, src))
+    else:
+
+        @jax.jit
+        def looped(s):
+            def it(i, acc):
+                return acc + jnp.sum(fn(s + i * jnp.float32(1e-9)))
+
+            return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+
+        run_loop = lambda: float(looped(src))
+
+    run_loop()
     t0 = time.time()
     for _ in range(args.iters):
-        float(looped(src))
+        run_loop()
     dt = (time.time() - t0) / (args.iters * R * args.frames)
     print(
         f"impl={args.impl} frames={args.frames}: {dt*1e3:.2f} ms/frame "
