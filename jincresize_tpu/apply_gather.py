@@ -48,6 +48,11 @@ class GatherApplier:
             op, interpret=interpret
         )
         self.tile_info = self._interior_fn.tile_info
+        # The expanded class-plane table reaches ~GB for many-class
+        # dictionaries (true aperiodic ratios) — a jit ARGUMENT, never a
+        # closure constant (remote-compile HTTP 413; same rule as the seg
+        # applier's weight params).
+        self._params = self._interior_fn.wx
         self._dop = to_device(op)
         self._strip_bands = strip_row_bands(op)
         ylo, yhi, xlo, xhi = op.y_lo, op.y_hi, op.x_lo, op.x_hi
@@ -69,12 +74,12 @@ class GatherApplier:
             self._apply, static_argnames=("out_dtype", "peak", "float_clamp_min")
         )
 
-    def _acc(self, src_f):
+    def _acc(self, wx, src_f):
         """(F, H, W) float32 -> (F, dst_h, dst_w) float32 accumulator."""
         op, dop = self.op, self._dop
         ylo, yhi, xlo, xhi = op.y_lo, op.y_hi, op.x_lo, op.x_hi
         H, W = op.dst_height, op.dst_width
-        interior = self._interior_fn(src_f)  # (F, nyi, nxi)
+        interior = self._interior_fn(src_f, wx)  # (F, nyi, nxi)
         by_rect = {
             (s.y0, s.y1, s.x0, s.x1): jax.vmap(
                 lambda sf, s=s, b=self._strip_bands[
@@ -105,7 +110,7 @@ class GatherApplier:
         return canvas
 
     def _apply(
-        self, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None
+        self, wx, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None
     ):
         src_f = src.astype(f32)
         if float_clamp_min is not None:
@@ -113,11 +118,12 @@ class GatherApplier:
         squeeze = src_f.ndim == 2
         if squeeze:
             src_f = src_f[None]
-        out = finalize(self._acc(src_f), out_dtype, peak)
+        out = finalize(self._acc(wx, src_f), out_dtype, peak)
         return out[0] if squeeze else out
 
     def __call__(self, src, out_dtype=jnp.float32, peak=None, float_clamp_min=None):
         return self._jit(
+            self._params,
             src,
             out_dtype=out_dtype,
             peak=peak,

@@ -2,19 +2,30 @@
 
 The phase-conv fast path (kernels/pallas_fused.py) requires periodic geometry;
 float32 position drift makes most non-integer scale ratios aperiodic (a 1.5x
-upscale already fragments into a 15x44 class dictionary). The reference's SIMD
+upscale already fragments into a 15x44 class dictionary — those now ride the
+segment-periodic MXU engine, pallas_fused_seg.py). The reference's SIMD
 kernels are geometry-agnostic (/root/reference/src/resize_plane_avx512.cpp:9-135
 — one gather-MAC loop regardless of periodicity); this kernel is the TPU
 equivalent: it runs ANY (class, window-start) sequence, replacing the XLA
 gather fallback that materializes per-tap-row patch and weight tensors
-(~24 ms/frame at 1080p->4K tap8; this kernel 16 ms measured on v5e — it is
-VPU-bound: fs^2 = 289 fp32 MACs/px with per-pixel weights cannot use the MXU.
-Quasi-periodic geometries — rational scale ratios fragmented only by the
-reference's float32 position drift — have a faster answer: the drift-free
-``pos_precision='f64'`` geometry mode (geometry.py) keeps them exactly
-periodic so impl='auto' routes them to the MXU conv path; this kernel is the
-fully-general fallback for bit-parity positions and irrational-equivalent
-ratios, where per-pixel weights are structural).
+(~24 ms/frame at 1080p->4K tap8). It is VPU-compute-bound: fs^2 = 289 fp32
+MACs/px with per-pixel weights cannot use the MXU. Measured r4 (v5e,
+8-frame batches, on-device loop):
+
+  * 1080p->4K tap8, quasi-periodic 2x crop-0.3 (2-class dict): 6.93 ms/frame
+  * 1080p->3739x2103 tap8, TRULY aperiodic 1.947x (256x256-class dict,
+    1.16 GB expanded class planes): 8.79 ms/frame — and a cy=const
+    ablation (identical weight-plane index on every row, so the pipeline
+    skips the per-row weight DMA entirely) measures 9.09: the
+    frame-amortized weight traffic (~1.2 GB/frame at F=8; the class-plane
+    index map is frame-invariant and frames iterate innermost) is fully
+    hidden behind compute. The r3-recorded 16.4 ms on this kernel is not
+    reproducible on the current stack; ROADMAP 12's flat-fs^2 relayout
+    remains only an optional compute lever (~25% fewer vreg ops), not a
+    requirement — the <=11 ms aperiodic bar is met as is.
+
+This kernel is the fully-general fallback for bit-parity positions and
+irrational-equivalent ratios, where per-pixel weights are structural.
 
 Structure per destination-row band b, column tile t, frame f (3-D grid):
 
@@ -370,6 +381,11 @@ def make_gather_interior(op: PlaneOperator, interpret: bool = False):
             n_uy, fs * fs, -1
         )
     )  # (n_uy, fs*fs, n_ux) — the only weight upload
+    # NOTE: the expanded table can reach ~GB for dictionaries with many row
+    # classes (true aperiodic ratios: up to quantize^ distinct classes); it
+    # is exposed as fn.wx and passed BACK as an argument per call — closure
+    # capture would embed it as a program constant, which the remote-compile
+    # transport rejects (HTTP 413; same rule as pallas_fused_seg's params).
     wx_dev = jax.jit(
         lambda t: jnp.pad(
             t[:, :, jnp.asarray(cxi)],
@@ -420,7 +436,9 @@ def make_gather_interior(op: PlaneOperator, interpret: bool = False):
 
     kern = functools.partial(_gather_kernel, tm=tm, fs=fs)
 
-    def fn(src_f):
+    def fn(src_f, wx=None):
+        if wx is None:
+            wx = wx_dev  # convenient for eager use; pass explicitly in jit
         F, H, W_ = src_f.shape
         # Horizontal im2col: one XLA gather, fs x src bytes.
         P = src_f[:, :, colsT]  # (F, H, fs, nxi)
@@ -439,9 +457,10 @@ def make_gather_interior(op: PlaneOperator, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((F, nyi_pad, nxi_pad), f32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(syloc_j, cy_j, y0_j, *([wx_dev] * tm), P)
+        )(syloc_j, cy_j, y0_j, *([wx] * tm), P)
         return out[:, :nyi, :nxi]
 
+    fn.wx = wx_dev
     fn.tile_info = {
         "tm": tm,
         "tn": tn,
