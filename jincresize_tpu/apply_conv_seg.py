@@ -60,9 +60,15 @@ class SegConvApplier:
         self.op = op
         self.plan = plan
         self.interior = "fused-seg"
+        # u8 sources do NOT get the wsplit3 fast mode here: for this kernel
+        # the 3x weight tensor outweighs the halved dot passes (measured
+        # v5e 1.5x 1080p tap8 interior: wsplit3 2.90 vs HIGHEST 2.63
+        # ms/frame — weight DMA grows with the per-(band,tile) slabs, unlike
+        # pallas_fused's single resident tensor). HIGHEST is exact fp32, so
+        # this is strictly at-or-above wsplit3's precision.
         kernel_prec = {
             "bf16": "default",
-            "fp32_u8src": "wsplit3",
+            "fp32_u8src": "highest",
             "fp32": "highest",
         }[precision]
         self.precision = precision

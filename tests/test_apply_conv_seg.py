@@ -82,7 +82,11 @@ def test_seg_parity_u8(op_15x):
 
 
 def test_seg_parity_u8src_mode_and_batch(op_15x):
-    """wsplit3 fast-exact mode (u8 sources) + frame batch via vmap."""
+    """u8-source precision mode + frame batch via vmap.
+
+    fp32_u8src maps to HIGHEST for this engine (measured: wsplit3's 3x
+    weight tensor outweighs its halved dot passes here); the wsplit3 kernel
+    mode itself stays exercised below."""
     app = SegConvApplier(op_15x, precision="fp32_u8src", interpret=True)
     rng = np.random.default_rng(1)
     src = rng.integers(0, 256, (2, 360, 640)).astype(np.uint8)
@@ -92,6 +96,31 @@ def test_seg_parity_u8src_mode_and_batch(op_15x):
         [apply_plane_numpy(op_15x, s, out_dtype=np.uint8, peak=255) for s in src]
     )
     assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_seg_kernel_wsplit3_exact_for_u8(op_15x):
+    """Kernel-level wsplit3 (3 bf16-exact weight components, DEFAULT dots):
+    exact for bf16-representable sources (u8 planes widened to f32)."""
+    import jax.numpy as jnp
+
+    from jincresize_tpu.kernels import pallas_fused_seg
+    from jincresize_tpu.phase import plan_phases_seg
+
+    plan = plan_phases_seg(op_15x)
+    hi = pallas_fused_seg.make_seg_interior(
+        op_15x, plan, precision="highest", interpret=True
+    )
+    ws = pallas_fused_seg.make_seg_interior(
+        op_15x, plan, precision="wsplit3", interpret=True
+    )
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(
+        rng.integers(0, 256, (360, 640)).astype(np.float32)
+    )
+    a = np.asarray(hi(src, hi.params))
+    b = np.asarray(ws(src, ws.params))
+    # Exact products in both modes; only accumulation order differs.
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
 
 
 def test_seg_parity_float_output(op_15x):
