@@ -158,6 +158,53 @@ def _local_apply(
     return acc
 
 
+def _patch_rows_sliced(band, sy_rows, start_x, bid_rows, blocks_all, fs):
+    """Patch-row values (k, dst_w) via sliced windows.
+
+    The r4 TPU ablation measured the fs^2-step scan-gather patches
+    (_local_apply) at 1527 ms/frame on a 1-row mesh at 1080p->4K tap8 —
+    200x the band kernel they accompany. This form replaces the per-element
+    gathers with bulk window slices: one (fs, W) dynamic_slice per patch
+    row, one (k*fs, fs) column-window slice per destination column
+    (vmap-of-dynamic_slice lowers to wide-slice gathers), and one
+    contiguous 289-float block gather per pixel. ~1 ms at the same config.
+    """
+    band_h, W = band.shape
+    k = sy_rows.shape[0]
+    slab = jax.vmap(
+        lambda r0: jax.lax.dynamic_slice(band, (r0, 0), (fs, W))
+    )(sy_rows)  # (k, fs, W)
+    slab2 = slab.reshape(k * fs, W)
+    G = jax.vmap(
+        lambda c0: jax.lax.dynamic_slice(slab2, (0, c0), (k * fs, fs)),
+        out_axes=1,
+    )(start_x)  # (k*fs, dst_w, fs)
+    G = G.reshape(k, fs, start_x.shape[0], fs)
+    Wb = blocks_all[bid_rows]  # (k, dst_w, fs, fs)
+    return jnp.einsum("kaxl,kxal->kx", G, Wb, preferred_element_type=f32)
+
+
+def _patch_cols_sliced(band, sy_all, cols_sx, bid_cols, blocks_all, fs):
+    """Patch-column values (rows, ncols); ``cols_sx`` are HOST-static window
+    start columns, so the horizontal windows are static slices."""
+    band_h, W = band.shape
+    C = len(cols_sx)
+    N = jnp.stack(
+        [
+            jax.lax.slice(band, (0, int(sx)), (band_h, int(sx) + fs))
+            for sx in cols_sx
+        ],
+        axis=1,
+    )  # (band_h, C, fs)
+    N2 = N.reshape(band_h, C * fs)
+    G = jax.vmap(
+        lambda r0: jax.lax.dynamic_slice(N2, (r0, 0), (fs, C * fs))
+    )(sy_all)  # (rows, fs, C*fs)
+    G = G.reshape(sy_all.shape[0], fs, C, fs)
+    Wb = blocks_all[bid_cols]  # (rows, C, fs, fs)
+    return jnp.einsum("yacl,ycal->yc", G, Wb, preferred_element_type=f32)
+
+
 def make_sharded_apply(
     op: PlaneOperator,
     mesh: Mesh,
@@ -402,6 +449,7 @@ def make_sharded_apply_gather(
             idx_rows[d, k] = fill[k] if k < len(fill) else fill[-1]
     cols = sorted(set(range(0, op.x_lo)) | set(range(op.x_hi, dst_w)))
     cols_np = np.asarray(cols if cols else [0], dtype=np.int32)
+    cols_sx = [int(v) for v in op.start_x[cols_np]]  # host-static col starts
 
     start_y_p = np.zeros(td * n, dtype=np.int32)
     start_y_p[: dst_h] = op.start_y
@@ -462,25 +510,13 @@ def make_sharded_apply_gather(
         canvas = jax.lax.dynamic_update_slice(
             canvas, interior[:td, :nxi], (0, xlo)
         )
-        vary = (axis,) if data_axis is None else (data_axis, axis)
-        vals_r = _local_apply(
-            band,
-            sy_rows_local - base_l,
-            start_x,
-            bid_rows_local,
-            blocks,
-            fs,
-            vary_axes=vary,
+        del start_x_c  # window starts of the patch columns are host-static
+        vals_r = _patch_rows_sliced(
+            band, sy_rows_local - base_l, start_x, bid_rows_local, blocks, fs
         )
         canvas = canvas.at[idx_rows_local - d * td].set(vals_r)
-        vals_c = _local_apply(
-            band,
-            start_y_local - base_l,
-            start_x_c,
-            bid_cols_local,
-            blocks,
-            fs,
-            vary_axes=vary,
+        vals_c = _patch_cols_sliced(
+            band, start_y_local - base_l, cols_sx, bid_cols_local, blocks, fs
         )
         canvas = canvas.at[:, cols_j].set(vals_c)
         return canvas
@@ -750,6 +786,7 @@ def make_sharded_apply_conv(
         | set(int(v) for v in pplan.x.exceptions)
     )
     cols_np = np.asarray(cols if cols else [0], dtype=np.int32)
+    cols_sx = [int(v) for v in op.start_x[cols_np]]  # host-static col starts
 
     start_y_p = np.zeros(td * n, dtype=np.int32)
     start_y_p[:dst_h] = op.start_y
@@ -817,28 +854,16 @@ def make_sharded_apply_conv(
         )
         canvas = jax.lax.slice(canvas, (py, 0), (py + td, dst_w))
 
-        vary = (axis,) if data_axis is None else (data_axis, axis)
-        # Patch rows (strips + y-exceptions): uniform gather on k_max rows.
-        vals_r = _local_apply(
-            band,
-            sy_rows_local - band_start,
-            start_x,
-            bid_rows_local,
-            blocks,
-            fs,
-            vary_axes=vary,
+        del start_x_c  # window starts of the patch columns are host-static
+        # Patch rows (strips + y-exceptions) and columns (strips +
+        # x-exceptions): sliced-window forms — the fs^2-step scan-gather
+        # previously here measured 1527 ms/frame on real TPUs (r4 ablation).
+        vals_r = _patch_rows_sliced(
+            band, sy_rows_local - band_start, start_x, bid_rows_local, blocks, fs
         )
         canvas = canvas.at[idx_rows_local - d * td].set(vals_r)
-
-        # Patch columns (strips + x-exceptions) for all owned rows.
-        vals_c = _local_apply(
-            band,
-            start_y_local - band_start,
-            start_x_c,
-            bid_cols_local,
-            blocks,
-            fs,
-            vary_axes=vary,
+        vals_c = _patch_cols_sliced(
+            band, start_y_local - band_start, cols_sx, bid_cols_local, blocks, fs
         )
         canvas = canvas.at[:, cols_j].set(vals_c)
         return canvas
