@@ -478,9 +478,12 @@ class JincResizer:
 
                 logger.info(
                     "geometry is quasi-periodic: float32 position drift forced "
-                    "the %s path; pos_precision='f64' (documented non-parity "
-                    "mode) would run it on the MXU conv path (~8x faster "
-                    "measured at 1.5x, tools/bench_gather.py).",
+                    "the %s path; impl='seg' (bit-parity segment-periodic MXU "
+                    "engine — auto declines it below JINCRESIZE_SEG_MIN_PIXELS "
+                    "because of its per-geometry compile cost) or "
+                    "pos_precision='f64' (documented non-parity mode) would "
+                    "run this request on the MXU (4x / 8.5x faster measured "
+                    "at 1.5x, tools/bench_gather.py).",
                     self.engines["luma"],
                 )
         except Exception:  # the hint must never break construction

@@ -2,14 +2,16 @@
 
 Measures the 1080p->4K tap8 case from VERDICT r2 (the one regime where the
 rebuild could lose to the reference's AVX-512 socket): the XLA gather
-fallback was 24 ms/frame; kernels/pallas_gather.py measures 16.4 ms
-(r3; tm/tn tile sweeps and ILP accumulator splits measured no better —
-the kernel is VMEM-load-bound at ~60% of the per-pixel-weight VPU
-structural floor; the remaining levers are recorded in ROADMAP 12 and the
-kernel docstring). Note: 1080p->4K is exactly 2x, so this op is actually
-periodic (impl='auto' runs it on the conv path at 1.7 ms); --impl gather
-forces the general kernel onto it, which is weight-layout-equivalent to
-the aperiodic case (per-row class planes, no periodicity assumption).
+fallback was 24 ms/frame; kernels/pallas_gather.py measures 6.93 ms on the
+default 2x crop config and 8.79 ms on a truly aperiodic 1.947x ratio with
+the full 256x256-class dictionary (r4 re-measurements, 8-frame batches —
+the r3-recorded 16.4 ms does not reproduce on the current stack; a
+cy=const ablation shows the kernel is VPU-compute-bound with weight DMA
+fully hidden, see the kernel docstring). Note: 1080p->4K is exactly 2x, so
+this op is actually periodic (impl='auto' runs it on the conv path at
+1.7 ms); --impl gather forces the general kernel onto it, which is
+weight-layout-equivalent to the aperiodic case (per-row class planes, no
+periodicity assumption).
 
 --geometry 1.5x measures the genuinely quasi-periodic regime (1.5x upscale
 with sub-pixel crop: f32 position drift fragments the phase pattern).
