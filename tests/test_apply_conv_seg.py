@@ -177,6 +177,21 @@ def test_api_impl_seg_engine():
     assert int(d.max()) <= 1
 
 
+def test_auto_seg_size_gate(op_15x, monkeypatch):
+    """Automatic selection (impl='pallas'/'auto') skips the seg engine below
+    JINCRESIZE_SEG_MIN_PIXELS (its per-geometry kernel compile only pays for
+    itself on large planes) but selects it when the gate admits the output;
+    explicit impl='seg' ignores the gate (tested elsewhere)."""
+    from jincresize_tpu.api import _select_engine
+
+    monkeypatch.setenv("JINCRESIZE_SEG_MIN_PIXELS", str(10**9))
+    app, eng = _select_engine(op_15x, "pallas", "fp32")
+    assert eng == "gather"  # drifted -> no plain conv; seg gated off
+    monkeypatch.setenv("JINCRESIZE_SEG_MIN_PIXELS", "1")
+    app, eng = _select_engine(op_15x, "pallas", "fp32")
+    assert eng == "fused-seg"
+
+
 def test_api_impl_seg_rejects_aperiodic():
     from jincresize_tpu.api import JincConfig, JincError, JincResizer
     from jincresize_tpu.clip import gray

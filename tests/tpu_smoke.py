@@ -54,7 +54,10 @@ def main():
         clip = Clip.from_frames([random_frame(fmt, sw, sh, seed=7)])
         try:
             out = jinc_resize(clip, dw, dh, tap=tap, **kw).frames[0]
-            ref = jinc_resize(clip, dw, dh, tap=tap, impl="numpy", **kw).frames[0]
+            ref_kw = {k: v for k, v in kw.items() if k != "impl"}
+            ref = jinc_resize(
+                clip, dw, dh, tap=tap, impl="numpy", **ref_kw
+            ).frames[0]
             if bits == 32:
                 d = max(
                     float(np.abs(out.planes[n] - ref.planes[n]).max())
