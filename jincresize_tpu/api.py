@@ -179,9 +179,11 @@ def _select_engine(op: PlaneOperator, impl: str, precision: str):
         # construction (device weight expansion + kernel compile) costs
         # minutes through a remote-tunnel deployment, which only pays for
         # itself on large planes (the gather kernel handles small ones in
-        # microseconds). Explicit impl='seg' always builds it.
+        # microseconds). Explicit impl='seg' always builds it. Default 1M px
+        # so the chroma plane of a 1.5x 1080p YUV420 clip (1.17M) rides the
+        # same MXU path as its luma instead of dominating the frame time.
         if auto and op.dst_width * op.dst_height < int(
-            os.environ.get("JINCRESIZE_SEG_MIN_PIXELS", str(1 << 21))
+            os.environ.get("JINCRESIZE_SEG_MIN_PIXELS", str(1 << 20))
         ):
             return None
         try:
