@@ -363,8 +363,17 @@ def make_seg_interior(
             (row0_d[:, :, None, None] + jnp.arange(fs)[None, None, :, None])
             == kr[None, None, None, :]
         ).astype(f32)  # (mt, tmo, fs, hbu_p)
+        # HIGHEST is mandatory here: the R operand is 0/1 one-hot placement
+        # and the Bx operand is the f32 weight data itself — at DEFAULT
+        # precision the TPU MXU rounds operands to bf16, silently corrupting
+        # every expanded weight by ~2^-9 relative (measured: 2-LSB u8 output
+        # deviations at 1.5x 1080p that no CPU/interpret run reproduces).
         w1 = jnp.einsum(
-            "imjgaf,imak->imjgfk", Bx, R, preferred_element_type=f32
+            "imjgaf,imak->imjgfk",
+            Bx,
+            R,
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (mt, tmo, nt, gmax, n_d*g, hbu_p)
         w1 = w1.reshape(mt, tmo, nt, gmax, n_d, g * hbu_p)
         w1 = w1.transpose(0, 2, 4, 3, 1, 5).reshape(mt, nt, n_d, gmax * tmo, kp)
