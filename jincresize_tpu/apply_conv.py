@@ -94,6 +94,15 @@ def build_conv_operator(
 
 # ---------------------------------------------------------------------------
 # Fixup computations (exceptions + strips): small targeted gathers.
+#
+# Precision note (r4, measured): these einsums contract a tiny tap dimension
+# with large batch/free dims, which XLA lowers to exact-f32 VPU
+# multiply-reduce, NOT an MXU dot — fp32 parity holds at DEFAULT precision
+# (tpu_smoke's fp32 cases measure ~5e-7 absolute). Forcing HIGHEST here cost
+# 5% of the 4K headline for no parity gain. The one einsum that DOES need
+# HIGHEST is the seg engine's weight expansion (pallas_fused_seg._expand_w):
+# its large free dims make XLA pick a real MXU dot, whose DEFAULT mode
+# rounds the f32 weight operands to bf16 (measured 2-LSB output corruption).
 # ---------------------------------------------------------------------------
 
 
@@ -111,7 +120,7 @@ def _cols_subset(dop: DevicePlaneOperator, src_f, sel) -> jax.Array:
         Prow = P[rows]  # (dst_h, m, fs)
         panex = dop.pair_blocks[:, cxs, ly, :]  # (n_uy, m, fs)
         Wrow = panex[dop.cy_idx]  # (dst_h, m, fs)
-        acc = acc + jnp.einsum("ymk,ymk->ym", Prow, Wrow, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+        acc = acc + jnp.einsum("ymk,ymk->ym", Prow, Wrow, preferred_element_type=f32)
     return acc
 
 
@@ -127,7 +136,7 @@ def _rows_subset(dop: DevicePlaneOperator, src_f, sel) -> jax.Array:
     P = S[:, cols].reshape(m, fs, dop.dst_width, fs)  # (m, k, w, l)
     pane_sel = dop.pair_blocks[dop.cy_idx[sel]]  # (m, n_ux, fs, fs)
     Wm = pane_sel[:, dop.cx_idx]  # (m, w, fs, fs)
-    return jnp.einsum("mkwl,mwkl->mw", P, Wm, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("mkwl,mwkl->mw", P, Wm, preferred_element_type=f32)
 
 
 def _strip_values(dop: DevicePlaneOperator, src_f, s) -> jax.Array:
@@ -139,7 +148,7 @@ def _strip_values(dop: DevicePlaneOperator, src_f, s) -> jax.Array:
     P = src_f[:, cols]  # (H, nx, fs)
     rows = jnp.clip(dop.start_y[s.y0 : s.y1][:, None] + taps[None, :], 0, H - 1)
     G = P[rows]  # (ny, k, nx, l)
-    return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32)
 
 
 def _strip_values_banded(
@@ -182,7 +191,7 @@ def _strip_values_banded(
             "kxl,yxkl->yx",
             jax.lax.slice(P, (0, 0, 0), (fs,) + P.shape[1:]),
             s.blocks,
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
         )
     nx = s.x1 - s.x0
     P2 = P.reshape(band_h, nx * fs)
@@ -190,7 +199,7 @@ def _strip_values_banded(
         lambda r0: jax.lax.dynamic_slice(P2, (r0, 0), (fs, nx * fs))
     )(dop.start_y[s.y0 : s.y1] - y_min)
     G = G.reshape(s.y1 - s.y0, fs, nx, fs)
-    return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ykxl,yxkl->yx", G, s.blocks, preferred_element_type=f32)
 
 
 def strip_row_bands(op: PlaneOperator) -> dict:
@@ -229,7 +238,7 @@ def _strip_cols_patch(src_f, sy_const: int, fs: int, cols_sx, blocks_sel):
     band = jax.lax.slice(src_f, (sy_const, 0), (sy_const + fs, W))
     cidx = jnp.clip(cols_sx[:, None] + taps[None, :], 0, W - 1)  # (m, fs)
     P = band[:, cidx]  # (fs, m, fs)
-    return jnp.einsum("kml,ymkl->ym", P, blocks_sel, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("kml,ymkl->ym", P, blocks_sel, preferred_element_type=f32)
 
 
 # ---------------------------------------------------------------------------

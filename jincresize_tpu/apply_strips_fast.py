@@ -165,7 +165,7 @@ def strip_values_fast(dop, strip_plans, src_f, only=None):
                 S, sp, nx, x0, dop.start_x, jnp.asarray(sp.exc)
             )  # (fs_ly, nx, fs_lx)
             acc = jnp.einsum(
-                "kxl,yxkl->yx", vec, s.blocks, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST
+                "kxl,yxkl->yx", vec, s.blocks, preferred_element_type=f32
             )
         else:
             band = jax.lax.slice(src_f, (0, c), (src_f.shape[0], c + fs))
@@ -175,7 +175,7 @@ def strip_values_fast(dop, strip_plans, src_f, only=None):
                 S, sp, ny, y0, dop.start_y, jnp.asarray(sp.exc)
             )  # (fs_lx, ny, fs_ly)
             acc = jnp.einsum(
-                "lyk,yxkl->yx", vec, s.blocks, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST
+                "lyk,yxkl->yx", vec, s.blocks, preferred_element_type=f32
             )
         out.append((i, sp.rect, acc))
     return out

@@ -151,7 +151,7 @@ def apply_plane(
         for ly in range(fs):
             panex = dop.pair_blocks[:, dop.cx_idx, ly, :]  # (n_uy, dst_w, fs)
             T = jnp.einsum(
-                "hwk,cwk->chw", P, panex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+                "hwk,cwk->chw", P, panex, preferred_element_type=jnp.float32
             )
             rows = jnp.clip(dop.start_y + ly, 0, H - 1)
             flat = dop.cy_idx.astype(jnp.int32) * H + rows
@@ -175,7 +175,7 @@ def apply_plane(
             )
             G = Ps[rows_s]  # (ny, k, nx, l)
             vals = jnp.einsum(
-                "ykxl,yxkl->yx", G, s.blocks, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+                "ykxl,yxkl->yx", G, s.blocks, preferred_element_type=jnp.float32
             )
             acc = jax.lax.dynamic_update_slice(acc, vals, (s.y0, s.x0))
         return acc
@@ -192,7 +192,7 @@ def apply_plane(
             sb = s.blocks[:, :, ly, :]  # (ny, nx, fs)
             Wrow = jax.lax.dynamic_update_slice(Wrow, sb, (s.y0, s.x0, 0))
         acc = acc + jnp.einsum(
-            "ywk,ywk->yw", Prow, Wrow, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+            "ywk,ywk->yw", Prow, Wrow, preferred_element_type=jnp.float32
         )
     return acc
 

@@ -181,7 +181,7 @@ def _patch_rows_sliced(band, sy_rows, start_x, bid_rows, blocks_all, fs):
     )(start_x)  # (k*fs, dst_w, fs)
     G = G.reshape(k, fs, start_x.shape[0], fs)
     Wb = blocks_all[bid_rows]  # (k, dst_w, fs, fs)
-    return jnp.einsum("kaxl,kxal->kx", G, Wb, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("kaxl,kxal->kx", G, Wb, preferred_element_type=f32)
 
 
 def _patch_cols_sliced(band, sy_all, cols_sx, bid_cols, blocks_all, fs):
@@ -202,7 +202,7 @@ def _patch_cols_sliced(band, sy_all, cols_sx, bid_cols, blocks_all, fs):
     )(sy_all)  # (rows, fs, C*fs)
     G = G.reshape(sy_all.shape[0], fs, C, fs)
     Wb = blocks_all[bid_cols]  # (rows, C, fs, fs)
-    return jnp.einsum("yacl,ycal->yc", G, Wb, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("yacl,ycal->yc", G, Wb, preferred_element_type=f32)
 
 
 def make_sharded_apply(
