@@ -525,7 +525,9 @@ class JincResizer:
         # 255 == peak) and 16-bit (65535 == peak) are unaffected. Applied to
         # every engine including the numpy path, which — like the float
         # clamp above — models whichever reference kernel the configured
-        # ``opt`` would dispatch to.
+        # ``opt`` would dispatch to ON A SIMD-CAPABLE HOST (the reference's
+        # opt=-1 would fall back to the C kernel's peak clamp only on a host
+        # without SSE4.1; that host class is not modeled here).
         if self.cfg.opt != 0 and 8 < self.fmt.bits < 16:
             peak = 65535.0
         if self._impl == "numpy":

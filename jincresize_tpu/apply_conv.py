@@ -207,6 +207,16 @@ def strip_row_bands(op: PlaneOperator) -> dict:
     import numpy as np
 
     fs = op.filter_size
+    # _strip_values_banded's static (band_h, fs) dynamic_slice windows assume
+    # builder-clamped begins with 0 <= start <= size-fs, which requires
+    # src >= filter_size per axis. Such geometries currently have no interior
+    # (gather/seg appliers decline first), but enforce the precondition where
+    # it is assumed rather than failing at trace time (ADVICE r4).
+    if op.src_height < fs or op.src_width < fs:
+        raise ValueError(
+            f"strip_row_bands: source {op.src_width}x{op.src_height} smaller "
+            f"than filter_size {fs} — window slices would be out of bounds"
+        )
     out = {}
     for s in op.strips:
         sy = np.asarray(op.start_y[s.y0 : s.y1], dtype=np.int64)

@@ -63,6 +63,22 @@ def init_distributed(
         num_processes = int(os.environ["JINCRESIZE_NUM_PROCESSES"])
     if process_id is None and "JINCRESIZE_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JINCRESIZE_PROCESS_ID"])
+    explicit = {
+        "coordinator_address": coordinator_address,
+        "num_processes": num_processes,
+        "process_id": process_id,
+    }
+    given = [k for k, v in explicit.items() if v is not None]
+    if given and len(given) != len(explicit):
+        # All-or-none: forwarding None for a partner field produces a
+        # confusing jax.distributed.initialize failure (ADVICE r4).
+        missing = sorted(set(explicit) - set(given))
+        raise ValueError(
+            "init_distributed: cluster coordinates must be fully specified — "
+            f"got {sorted(given)} but missing {missing} (set the matching "
+            "JINCRESIZE_COORDINATOR / JINCRESIZE_NUM_PROCESSES / "
+            "JINCRESIZE_PROCESS_ID or pass all three arguments)"
+        )
     if coordinator_address is None and num_processes is None:
         # Nothing explicit: only auto-detect when a known scheduler env is
         # present, so plain single-host usage never blocks on a coordinator.

@@ -325,7 +325,11 @@ def make_seg_interior(
         qy * (jblk - np.repeat(np.arange(mt) * tmb, tmo))
         + plan.y.roff[ky].astype(np.int64)
     ).reshape(mt, tmo)
-    assert row0_all.min() >= 0 and int(row0_all.max()) + fs <= hbu_p
+    # ValueError (not assert): api._select_engine's try_seg catches ValueError
+    # so an unanticipated geometry falls back to the gather engine instead of
+    # crashing impl='auto' (and the check survives `python -O`).
+    if row0_all.min() < 0 or int(row0_all.max()) + fs > hbu_p:
+        raise ValueError("seg interior: band row placement out of envelope")
 
     # Weights: w[i, j, d, g*tmo + m, t*hbu_p + row0 + ly] = PB[cy, cls][ly, lx]
     # with lx = packs[d][t] - roff_g (taps outside [0, fs) stay zero).
@@ -403,7 +407,8 @@ def make_seg_interior(
     cover = sel.sum(axis=1)  # (nt, px, tnb)
     for j in range(nt):
         b1 = min((j + 1) * tnb, nxb) - j * tnb
-        assert (cover[j, :, :b1] == 1.0).all(), "variant routing not a partition"
+        if not (cover[j, :, :b1] == 1.0).all():
+            raise ValueError("seg interior: variant routing not a partition")
 
     if precision == "wsplit3":
         # 3 bf16-exact components (w == c0+c1+c2 exactly), split on device.

@@ -233,7 +233,12 @@ def _plan_axis_seg(
     best = None
     for p in range(1, min(max_period, n // 3) + 1):
         dq = s[p:] - s[:-p]
-        q = int(np.median(dq))
+        # Mode, not int(median): for even-length dq the median can be a
+        # half-integer average and int() truncates, mis-fitting a valid
+        # (p, q) pattern (ADVICE r4). The modal advance is always an actual
+        # observed integer step.
+        vals, counts = np.unique(dq, return_counts=True)
+        q = int(vals[np.argmax(counts)])
         if q < max(1, p // 8):  # degenerate: no source advance
             continue
         k = np.arange(n)

@@ -286,3 +286,30 @@ def test_cli_precision_and_float_clamp_flags(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert np.load(outp).shape == (36, 48)
+
+
+def test_init_distributed_partial_args_raise():
+    """All-or-none cluster coordinates (ADVICE r4): a partial set must raise
+    a descriptive error instead of forwarding None into
+    jax.distributed.initialize."""
+    import pytest
+
+    from jincresize_tpu.distributed import init_distributed
+
+    with pytest.raises(ValueError, match="missing.*num_processes"):
+        init_distributed(coordinator_address="localhost:1234")
+    with pytest.raises(ValueError, match="missing.*coordinator_address"):
+        init_distributed(num_processes=2, process_id=0)
+
+
+def test_strip_row_bands_rejects_subfilter_source():
+    """Sources smaller than filter_size per axis violate the banded-strip
+    slice precondition (ADVICE r4) — enforced where it is assumed."""
+    import pytest
+
+    from jincresize_tpu.apply_conv import strip_row_bands
+    from jincresize_tpu.operator import build_plane_operator, radius_for_tap
+
+    op = build_plane_operator(12, 9, 24, 18, radius_for_tap(8))  # fs=17 > 9
+    with pytest.raises(ValueError, match="smaller than filter_size"):
+        strip_row_bands(op)

@@ -154,7 +154,11 @@ def test_u16_subpeak_overshoot_simd_vs_c():
     max via ``_mm_packus_epi32`` (resize_plane_avx2.cpp:89) — so 10-bit
     ringing overshoot exceeds peak=1023 on the reference's default dispatch.
     The rebuild mirrors the dispatch: opt!=0 (default) -> type-max
-    saturation on device engines; opt=0 and the host golden -> peak clamp."""
+    saturation on EVERY engine, including the numpy golden, which models
+    whichever reference kernel the configured opt would dispatch to on a
+    SIMD-capable host (opt=-1 on a host without SSE4.1 would fall back to
+    the C kernel's peak clamp — that host class is not modeled); opt=0 ->
+    the C kernel's peak clamp on every engine."""
     from jincresize_tpu.clip import Frame
 
     fmt = gray(10)
