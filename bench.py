@@ -134,7 +134,12 @@ def main():
         "deinterleave and the inflated-support kernels; VERDICT r2 item 4)",
     )
     ap.add_argument(
-        "--impl", default="auto", choices=["auto", "conv", "xla", "pallas"]
+        "--impl",
+        default="auto",
+        choices=["auto", "conv", "xla", "pallas", "seg", "gather"],
+        help="seg = segment-periodic fused kernel (drifted rational scales); "
+        "gather = general-geometry Pallas gather kernel (r4 VERDICT weak #7: "
+        "the headline bench can now name every engine directly)",
     )
     ap.add_argument(
         "--scaling",
@@ -206,11 +211,31 @@ def main():
 
         impl = "conv" if plan_phases(op) is not None else "xla"
 
+    # Appliers expose a uniform _apply(params, src, ...) so the on-device
+    # timing loop can pass the weight tensors as jit ARGUMENTS — closure
+    # capture would embed them as program constants, which the axon
+    # remote-compile transport rejects (HTTP 413) for the seg/gather engines'
+    # expanded tensors.
+    applier, params = None, None
     if impl in ("conv", "pallas"):
         from jincresize_tpu.apply_conv import ConvApplier
 
         interior = "pallas" if impl == "pallas" else "auto"
         applier = ConvApplier(op, interior=interior, precision=args.precision)
+        params = applier.cop
+    elif impl == "seg":
+        from jincresize_tpu.apply_conv_seg import SegConvApplier
+
+        applier = SegConvApplier(
+            op, precision=args.precision, interpret=jax.default_backend() == "cpu"
+        )
+        params = applier._params
+    elif impl == "gather":
+        from jincresize_tpu.apply_gather import GatherApplier
+
+        applier = GatherApplier(op, interpret=jax.default_backend() == "cpu")
+        params = applier._params
+    if applier is not None:
         print(f"# interior engine: {applier.interior}", file=sys.stderr)
         fn = applier
     else:
@@ -255,16 +280,34 @@ def main():
     # the headline px/s — the dispatch-path number is printed alongside.
     R = 4
 
-    @jax.jit
-    def looped(s):
-        def it(i, acc):
-            return acc + jnp.sum(fn(s + i * jnp.float32(1e-9)))
+    if applier is not None:
+        # ConvApplier._apply is single-frame; its batch form is separate.
+        apply_m = applier._apply
+        if src.ndim == 3 and hasattr(applier, "_apply_batch"):
+            apply_m = applier._apply_batch
 
-        return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+        @jax.jit
+        def looped(s, p):
+            def it(i, acc):
+                return acc + jnp.sum(apply_m(p, s + i * jnp.float32(1e-9)))
 
-    float(looped(src))
+            return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+
+        run_loop = lambda: float(looped(src, params))
+    else:
+
+        @jax.jit
+        def looped(s):
+            def it(i, acc):
+                return acc + jnp.sum(fn(s + i * jnp.float32(1e-9)))
+
+            return jax.lax.fori_loop(0, R, it, jnp.float32(0.0))
+
+        run_loop = lambda: float(looped(src))
+
+    run_loop()
     t0 = time.time()
-    float(looped(src))
+    run_loop()
     dt = (time.time() - t0) / R
     px_per_s = dw * dh * frames / dt
     print(
