@@ -60,17 +60,26 @@ class SegConvApplier:
         self.op = op
         self.plan = plan
         self.interior = "fused-seg"
-        # u8 sources do NOT get the wsplit3 fast mode here: for this kernel
-        # the 3x weight tensor outweighs the halved dot passes (measured
-        # v5e 1.5x 1080p tap8 interior: wsplit3 2.90 vs HIGHEST 2.63
-        # ms/frame — weight DMA grows with the per-(band,tile) slabs, unlike
-        # pallas_fused's single resident tensor). HIGHEST is exact fp32, so
-        # this is strictly at-or-above wsplit3's precision.
+        # u8 sources use the IN-KERNEL weight 3-split (r5): exact for
+        # bf16-exact sources at half the HIGHEST pass count. The r4 stacked
+        # wsplit3 (3x weight tensor) lost to HIGHEST from DMA alone
+        # (2.90 vs 2.63 ms/frame interior at 1.5x 1080p); splitting inside
+        # the kernel keeps one resident tensor and only pays a small VPU
+        # split per use — measured v5e 1440p->4K 1.5x tap8 full applier:
+        # 3.37 (HIGHEST) -> 2.73 ms/frame at 1-LSB parity (3.4x the 9.22
+        # ms gather baseline on the same geometry).
+        import os
+
         kernel_prec = {
             "bf16": "default",
-            "fp32_u8src": "highest",
+            "fp32_u8src": "wsplit3_vmem",
             "fp32": "highest",
         }[precision]
+        if precision != "bf16" and os.environ.get("JINCRESIZE_SEG_DOT"):
+            # Experimental override for the MXU dot pass count
+            # ('high' = bf16_3x): measured on v5e at the 4K/1.5x parity
+            # configs before any default change.
+            kernel_prec = os.environ["JINCRESIZE_SEG_DOT"]
         self.precision = precision
         self.effective_precision = precision
         self._interior_fn = pallas_fused_seg.make_seg_interior(

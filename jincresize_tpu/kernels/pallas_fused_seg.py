@@ -351,15 +351,38 @@ def _seg_kernel(
                     if wparts == 1
                     else w_ref[0, jj, part, d]
                 )
-                acc_cat = acc_cat + jax.lax.dot_general(
-                    wd[:, : len(taps) * hbu_p],
-                    colps[d],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    precision=precision
-                    if wparts == 1
-                    else jax.lax.Precision.DEFAULT,
-                    preferred_element_type=f32,
-                )
+                wdk = wd[:, : len(taps) * hbu_p]
+                if precision == "wsplit3_vmem":
+                    # In-kernel exact weight 3-split for bf16-exact (u8)
+                    # sources: hi+mid+lo reproduce w exactly and each
+                    # DEFAULT dot's operands are bf16-exact, so the 3
+                    # passes compute the exact f32 products — halving the
+                    # HIGHEST 6-pass MXU cost. Splitting HERE (VMEM
+                    # resident, VPU per use) avoids the 3x weight DMA that
+                    # made the stacked wsplit3 variant LOSE for this kernel
+                    # (r4: 2.90 vs 2.63 ms/frame interior at 1.5x 1080p).
+                    hi = wdk.astype(jnp.bfloat16).astype(f32)
+                    r1 = wdk - hi
+                    mid = r1.astype(jnp.bfloat16).astype(f32)
+                    lo = r1 - mid
+                    for comp in (hi, mid, lo):
+                        acc_cat = acc_cat + jax.lax.dot_general(
+                            comp,
+                            colps[d],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=f32,
+                        )
+                else:
+                    acc_cat = acc_cat + jax.lax.dot_general(
+                        wdk,
+                        colps[d],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        precision=precision
+                        if wparts == 1
+                        else jax.lax.Precision.DEFAULT,
+                        preferred_element_type=f32,
+                    )
         # Variant select: route each column to its (class, roff) group.
         # sel is 0/1 so the products are exact; each column receives exactly
         # one group per phase (host-verified), so there is no accumulation
@@ -553,6 +576,10 @@ def make_seg_interior(
     else:
         prec = {
             "default": jax.lax.Precision.DEFAULT,
+            # In-kernel weight 3-split (see _seg_kernel): EXACT for
+            # bf16-exact sources (u8 planes) at half the HIGHEST pass count,
+            # with none of the stacked-wsplit3 DMA penalty.
+            "wsplit3_vmem": "wsplit3_vmem",
             "highest": jax.lax.Precision.HIGHEST,
         }[precision]
         wparts = 1

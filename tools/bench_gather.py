@@ -29,6 +29,14 @@ Measured v5e, 8 frames, 1920x1080->2880x1620 tap8 (on-device loop):
   * --pos-precision f64 (documented non-parity): exactly periodic (p=3),
     plain fused conv path, 1.43 ms/frame (r3).
 
+--geometry 4k is the r4 VERDICT #1 geometry (2560x1440->3840x2160 tap8,
+drifted 1.5x at 4K output scale), admitted to the seg engine in r5 by
+band-slab dedup + per-chunk dot-M (350 MB resident vs ~1.5 GB before).
+Measured v5e, 8 frames, crop 0.3: gather 9.22 ms/frame; seg fp32 parity
+3.37 (0-LSB check, 2.7x); seg --u8 (fp32_u8src -> exact in-kernel 3-pass
+weight split) 2.73 (1-LSB check, **3.4x** the gather baseline on the
+reference's dominant u8 pipeline).
+
 Usage: python tools/bench_gather.py [--frames N] [--impl gather|xla|auto]
                                     [--geometry 2x|1.5x] [--pos-precision f32|f64]
 """
@@ -50,8 +58,27 @@ def main():
         "--impl", default="gather", choices=["gather", "xla", "auto", "seg"]
     )
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--geometry", default="2x", choices=["2x", "1.5x"])
+    ap.add_argument(
+        "--geometry",
+        default="2x",
+        choices=["2x", "1.5x", "4k"],
+        help="4k = 2560x1440->3840x2160, the r4 VERDICT #1 'done'-bar "
+        "geometry: drifted 1.5x at 4K output scale, formerly above the seg "
+        "weight gate (r5 slab dedup brings it to 433 MB resident)",
+    )
     ap.add_argument("--pos-precision", default="f32", choices=["f32", "f64"])
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="verify u8 output of frame 0 against the host golden (<=1 LSB)",
+    )
+    ap.add_argument(
+        "--u8",
+        action="store_true",
+        help="u8-valued sources + precision='fp32_u8src' (the reference's "
+        "dominant real pipeline): bf16-exact sources let the seg kernel run "
+        "the EXACT in-kernel 3-pass weight split instead of 6-pass HIGHEST",
+    )
     args = ap.parse_args()
 
     import jax
@@ -69,6 +96,8 @@ def main():
 
     if args.geometry == "1.5x":
         sw, sh, dw, dh = 1920, 1080, 2880, 1620
+    elif args.geometry == "4k":
+        sw, sh, dw, dh = 2560, 1440, 3840, 2160
     else:
         sw, sh, dw, dh = 1920, 1080, 3840, 2160
     t0 = time.time()
@@ -94,7 +123,12 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
+    if args.u8:
+        src = jnp.asarray(
+            rng.integers(0, 256, (args.frames, sh, sw)).astype(np.float32)
+        )
+    else:
+        src = jnp.asarray(rng.random((args.frames, sh, sw), dtype=np.float32))
 
     if args.impl == "gather":
         from jincresize_tpu.apply_gather import GatherApplier
@@ -105,7 +139,9 @@ def main():
     elif args.impl == "seg":
         from jincresize_tpu.apply_conv_seg import SegConvApplier
 
-        app = SegConvApplier(op)
+        app = SegConvApplier(
+            op, precision="fp32_u8src" if args.u8 else "fp32"
+        )
         print(f"# tiles: {app.tile_info}", file=sys.stderr)
         fn = app
     elif args.impl == "auto":
@@ -132,6 +168,17 @@ def main():
     t0 = time.time()
     run(src)
     print(f"# compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.check:
+        from jincresize_tpu.golden import apply_plane_numpy
+
+        dev = np.asarray(fn(src[0], out_dtype=np.uint8, peak=255.0))
+        ref = apply_plane_numpy(op, np.asarray(src[0]), out_dtype=np.uint8,
+                                peak=255.0)
+        diff = int(np.abs(dev.astype(int) - ref.astype(int)).max())
+        print(f"# parity check vs host golden: max LSB diff = {diff}",
+              file=sys.stderr)
+        assert diff <= 1, f"parity violated: {diff} LSB"
 
     R = 4
 
