@@ -444,10 +444,22 @@ def make_seg_interior(
     precision: str = "highest",
     interleave: str | None = None,
     interpret: bool = False,
+    grid_len: int | None = None,
+    rows_out: int | None = None,
+    ext_rows: int | None = None,
 ):
     """Build fn(src_f32, params) -> (py*nyb, px*nxb) interior in dst layout.
 
     The result block belongs at canvas[y.lo : y.lo+py*nyb, x.lo : x.lo+px*nxb].
+
+    Banded mode (``grid_len``/``rows_out``/``ext_rows``, r5 sharded seg):
+    every band's (slab id, source row offset) rides the scalar-prefetched
+    ``rowmeta`` array in params — so a caller owning only a ROW BAND of the
+    plane (a mesh device) builds one kernel of ``grid_len`` bands and passes
+    its own per-device rowmeta (sharded), while the weight slabs stay
+    device-invariant (replicated): per-device variation is data, not shape.
+    The default params carry the full-plane rowmeta
+    ``[slab_of_band[i], ay + qy*tmb*i]``.
 
     r5 layout (VERDICT r4 missing #1 + weak #3): band weight slabs are
     DEDUPLICATED — the per-band tensor depends only on the band's row-class
@@ -591,6 +603,11 @@ def make_seg_interior(
     wq_full = tnb * C * (n_chunks - 1) + wq_c
 
     ileave = interleave or os.environ.get("JINCRESIZE_SEG_INTERLEAVE", "xla")
+    # Banded-mode overrides (sharded per-device interiors): grid length,
+    # output rows kept, and the residue extent the caller's band provides.
+    n_g = grid_len if grid_len is not None else mt
+    rows_keep = rows_out if rows_out is not None else py * nyb
+    ext_use = ext_rows if ext_rows is not None else ext_y
 
     # mp buckets share one compiled kernel; gmax_k is the bucket max so a
     # chunk's select loop covers every group its tiles actually use.
@@ -628,15 +645,21 @@ def make_seg_interior(
         w_zeros = tuple(0 for _ in range(len(w_shape) - 1))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mt,),
+            grid=(n_g,),
             in_specs=[
-                pl.BlockSpec(w_shape, lambda i, s, _z=w_zeros: (s[i], *_z)),
+                pl.BlockSpec(
+                    w_shape, lambda i, s, _z=w_zeros: (s[i, 0], *_z)
+                ),
                 pl.BlockSpec(
                     (C, gmax_k, px, tnb), lambda i, s: (0, 0, 0, 0)
                 ),
                 pl.BlockSpec(
                     (pl.Element(qx), pl.Element(hb), pl.Element(wq_c)),
-                    lambda i, s: (0, ay + qy * tmb * i, 0),
+                    # rowmeta stores the source row offset in SUBLANE UNITS
+                    # (rows/8): Mosaic must prove the row index divides the
+                    # (8, 128) tiling, which it can for 8*x but not for a
+                    # bare scalar loaded from SMEM.
+                    lambda i, s: (0, s[i, 1] * SUB, 0),
                 ),
             ],
             out_specs=pl.BlockSpec((tmo, C * tno), lambda i, s: (i, 0)),
@@ -644,7 +667,7 @@ def make_seg_interior(
         )
         calls[mp_c] = pl.pallas_call(
             kern_pf,
-            out_shape=jax.ShapeDtypeStruct((mt * tmo, C * tno), f32),
+            out_shape=jax.ShapeDtypeStruct((n_g * tmo, C * tno), f32),
             grid_spec=grid_spec,
             interpret=interpret,
         )
@@ -671,12 +694,23 @@ def make_seg_interior(
         valid_cols.append(min(tnb * (j1 - j0), nxb - j0 * tnb) * px)
         chunk_mp.append(mp_c)
     del w  # chunks alias/copy the expansion; drop the combined tensor
-    slab_ids = jnp.asarray(slab_of_band)
+    # Default rowmeta: full-plane bands. Banded callers replace this leaf
+    # with their own (grid_len, >=2) int32 [[slab_id, src_row_offset/SUB],
+    # ...] — row offsets in SUBLANE UNITS (see the src index map).
+    rowmeta = jnp.asarray(
+        np.stack(
+            [
+                slab_of_band.astype(np.int32),
+                ((ay + qy * tmb * np.arange(mt)) // SUB).astype(np.int32),
+            ],
+            axis=1,
+        )
+    )
 
     def fn(src_f, params, residue=None):
-        w_ch, sel_ch, slab = params
+        w_ch, sel_ch, rmeta = params
         if residue is None:
-            residue = residue_planes(src_f, qx, wq_full, ext_y)
+            residue = residue_planes(src_f, qx, wq_full, ext_use)
         outs = []
         for c in range(n_chunks):
             pl_slice = jax.lax.slice(
@@ -684,7 +718,7 @@ def make_seg_interior(
                 (0, 0, tnb * C * c),
                 (qx, residue.shape[1], tnb * C * c + wq_c),
             )
-            out_c = calls[chunk_mp[c]](slab, w_ch[c], sel_ch[c], pl_slice)
+            out_c = calls[chunk_mp[c]](rmeta, w_ch[c], sel_ch[c], pl_slice)
             if px > 1 and ileave == "xla":
                 R = out_c.shape[0]
                 out_c = (
@@ -692,12 +726,12 @@ def make_seg_interior(
                     .transpose(0, 1, 3, 2)
                     .reshape(R, C * tno)
                 )
-            outs.append(out_c[: py * nyb, : valid_cols[c]])
+            outs.append(out_c[:rows_keep, : valid_cols[c]])
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         return out[:, : px * nxb]
 
-    fn.params = (tuple(w_chunks), tuple(sel_chunks), slab_ids)
-    fn.residue_spec = (qx, wq_full, ext_y)
+    fn.params = (tuple(w_chunks), tuple(sel_chunks), rowmeta)
+    fn.residue_spec = (qx, wq_full, ext_use)
     fn.tile_info = {
         "tmb": tmb,
         "tnb": tnb,

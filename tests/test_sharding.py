@@ -263,3 +263,82 @@ def test_api_impl_sharded(mesh8):
             a = out.frames[i].planes[n].astype(int)
             b = ref.frames[i].planes[n].astype(int)
             assert np.abs(a - b).max() <= 1, (i, n)
+
+
+def test_sharded_seg_interior_parity(mesh8):
+    """r4 VERDICT missing #3: drifted rational scales on a mesh must ride
+    the segment-periodic MXU interior, not downgrade to the gather kernel.
+    Per-device variation travels in the scalar-prefetched rowmeta; weight
+    slabs are replicated (device-invariant)."""
+    from jincresize_tpu.apply_conv_seg import SegConvApplier
+    from jincresize_tpu.sharding import make_mesh, make_sharded_apply
+
+    op = build_plane_operator(640, 360, 960, 540, radius_for_tap(8))
+    src = np.random.default_rng(3).random((360, 640), dtype=np.float32)
+    ref = apply_plane_numpy(op, src)
+    single = np.asarray(SegConvApplier(op, interpret=True)(src))
+    for k in (2, 4, 8):
+        fn, _ = make_sharded_apply(op, make_mesh(n_rows=k), impl="seg")
+        assert fn.info["interior"] == "seg"
+        out = np.asarray(fn(src))
+        # Same accumulation-order tolerance class as the single-chip seg
+        # float test (2e-5); vs the single-chip seg engine itself the
+        # deviation is ~1 ulp of the dot ordering.
+        np.testing.assert_allclose(out, ref, rtol=0, atol=2e-5)
+        np.testing.assert_allclose(out, single, rtol=0, atol=2e-6)
+        outu = np.asarray(fn(src, out_dtype=np.uint8, peak=255.0))
+        refu = apply_plane_numpy(op, src, out_dtype=np.uint8, peak=255.0)
+        assert int(np.abs(outu.astype(int) - refu.astype(int)).max()) <= 1
+
+
+def test_sharded_seg_auto_routing_and_batch(mesh_2x4):
+    """impl='auto' on a drifted geometry picks the seg interior before the
+    gather kernel; the data-axis SpMM form matches per-frame outputs."""
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    op = build_plane_operator(640, 360, 960, 540, radius_for_tap(8))
+    fn, _ = make_sharded_apply(op, mesh_2x4, data_axis="data", impl="auto")
+    assert fn.info["interior"] == "seg"
+    src = np.random.default_rng(4).random((4, 360, 640), dtype=np.float32)
+    out = np.asarray(fn(src, out_dtype=np.uint8, peak=255.0))
+    for f in range(4):
+        refu = apply_plane_numpy(op, src[f], out_dtype=np.uint8, peak=255.0)
+        assert int(np.abs(out[f].astype(int) - refu.astype(int)).max()) <= 1
+
+
+def test_sharded_seg_with_exceptions(mesh8):
+    """Exception columns (2.5x start-offset outliers) are patched on every
+    device; sharded output matches the golden at 1 LSB."""
+    from jincresize_tpu.phase import plan_phases_seg
+    from jincresize_tpu.sharding import make_mesh, make_sharded_apply
+
+    op = build_plane_operator(1920, 80, 4800, 200, radius_for_tap(2))
+    plan = plan_phases_seg(op)
+    assert plan is not None and len(plan.x.exceptions) > 0
+    fn, _ = make_sharded_apply(op, make_mesh(n_rows=2), impl="seg")
+    assert fn.info["interior"] == "seg"
+    src = np.random.default_rng(3).integers(0, 256, (80, 1920)).astype(np.uint8)
+    out = np.asarray(fn(src, out_dtype=np.uint8, peak=255.0))
+    ref = apply_plane_numpy(op, src, out_dtype=np.uint8, peak=255.0)
+    assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_row_only_mesh_frame_batch(mesh8):
+    """Frame batches on a row-only mesh run ONE vmapped-inside-shard call
+    (r5): parity per frame vs the golden, all interiors."""
+    from jincresize_tpu.sharding import make_sharded_apply
+
+    for op, impl, tol in [
+        (build_plane_operator(96, 72, 192, 144, radius_for_tap(3)), "conv", 1e-6),
+        (build_plane_operator(640, 360, 960, 540, radius_for_tap(8)), "seg", 2e-5),
+        (build_plane_operator(96, 72, 160, 120, radius_for_tap(3)), "gather", 2e-5),
+    ]:
+        fn, _ = make_sharded_apply(op, mesh8, impl=impl)
+        src = np.random.default_rng(6).random(
+            (3, op.src_height, op.src_width), dtype=np.float32
+        )
+        out = np.asarray(fn(src))
+        assert out.shape[0] == 3
+        for f in range(3):
+            ref = apply_plane_numpy(op, src[f])
+            assert np.abs(out[f] - ref).max() <= tol, (impl, f)
