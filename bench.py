@@ -174,6 +174,13 @@ def main():
         "deinterleave and the inflated-support kernels; VERDICT r2 item 4)",
     )
     ap.add_argument(
+        "--tap16-downscale",
+        action="store_true",
+        help="tap16 4K->1080p (fs=65, fs^2=4225): the regime past every "
+        "Pallas kernel envelope (r4 VERDICT weak #5) — runs the XLA "
+        "conv-shift interior (p=1, q=2 plan, 4225 shifted mult-adds)",
+    )
+    ap.add_argument(
         "--impl",
         default="auto",
         choices=["auto", "conv", "xla", "pallas", "seg", "gather"],
@@ -215,7 +222,14 @@ def main():
     from jincresize_tpu import apply_xla
     from jincresize_tpu.operator import build_plane_operator, radius_for_tap
 
-    if args.downscale:
+    tap = 8
+    if args.tap16_downscale:
+        tap = 16
+        if args.small:
+            sw, sh, dw, dh = 1920, 1080, 960, 540
+        else:
+            sw, sh, dw, dh = 3840, 2160, 1920, 1080
+    elif args.downscale:
         # Downscale: support inflates by the scale ratio (fs 17 -> 33 at
         # 0.5x), qx=2 residue planes; frames default sized for upscale HBM
         # budgets are fine here (dst is 4x smaller).
@@ -237,7 +251,7 @@ def main():
         src_height=sh,
         dst_width=dw,
         dst_height=dh,
-        radius=radius_for_tap(8),
+        radius=radius_for_tap(tap),
     )
     build_s = time.time() - t0
     print(f"# operator built in {build_s:.1f}s: {op.stats()}", file=sys.stderr)
@@ -367,17 +381,18 @@ def main():
         file=sys.stderr,
     )
 
-    if args.downscale:
+    if args.downscale or args.tap16_downscale:
         # Per-socket-equivalent bar at THIS geometry's padded MAC cost
         # (the reference's per-px work inflates with the support; same
         # 1.54 TMAC/s analytic socket as BASELINE_PX_PER_S).
         fs = op.filter_size
         stride = (fs + 15) & ~15
         base = 1.54e12 / (fs * stride)
+        kind = "tap16" if args.tap16_downscale else "jinc256"
         metric = (
-            "jinc256_4k_to_1080p_fp32_px_per_s_per_chip"
+            f"{kind}_4k_to_1080p_fp32_px_per_s_per_chip"
             if not args.small
-            else "jinc256_1080p_to_540p_fp32_px_per_s_per_chip"
+            else f"{kind}_1080p_to_540p_fp32_px_per_s_per_chip"
         )
         print(
             json.dumps(
