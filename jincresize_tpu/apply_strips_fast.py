@@ -112,13 +112,19 @@ def _sliding(band: jax.Array, fs: int, axis: int) -> jax.Array:
         parts = [jax.lax.slice(band, (0, t), (band.shape[0], t + n)) for t in range(fs)]
     else:
         parts = [jax.lax.slice(band, (t, 0), (t + n, band.shape[1])) for t in range(fs)]
-    # Concatenate + reshape, NOT stack: any stack broadcasts every part to a
-    # rank-3 temp with a size-1 axis, and XLA's layout assignment makes that
-    # axis minor — the TPU (8, 128) tiling then pads it 128x, which planned
-    # 62 GB of HBM at fs=65 (tap16 4K downscale, measured OOM r5; stack
-    # axis=-1 and axis=0 both hit it). Concat keeps the parts' own 2-D
-    # layout; the reshape is free and one moveaxis materializes the final
-    # (A, n, fs) windows once.
+    if fs <= 32:
+        # Small supports: XLA fuses the stacked slices into the consumer
+        # einsum without materializing the broadcast temps — measured 11.66
+        # vs 11.88 Gpx/s on the 4K->8K headline when forced onto the concat
+        # form below, so keep the stack here.
+        return jnp.stack(parts, axis=-1)
+    # Large supports: concatenate + reshape, NOT stack. Any stack broadcasts
+    # every part to a rank-3 temp with a size-1 axis, and XLA's layout
+    # assignment makes that axis minor — the TPU (8, 128) tiling then pads
+    # it 128x, which planned 62 GB of HBM at fs=65 (tap16 4K downscale,
+    # measured OOM r5; stack axis=-1 and axis=0 both hit it). Concat keeps
+    # the parts' own 2-D layout; the reshape is free and one moveaxis
+    # materializes the final (A, n, fs) windows once.
     cat = jnp.concatenate(parts, axis=0).reshape(fs, *parts[0].shape)
     return jnp.moveaxis(cat, 0, -1)
 
