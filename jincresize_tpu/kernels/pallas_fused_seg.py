@@ -94,6 +94,16 @@ def _geometry(op: PlaneOperator, plan: SegPhasePlan):
         if _round_up(nxt, SUB) > LANE:
             break
         tmb *= 2
+    # The output block is (tmo, C*tno): Mosaic requires tmo % SUB == 0 on
+    # hardware (interpret mode does not check — found via the 2.5x py=5
+    # smoke case, tmo=20). Doubling preserves qy*tmb % SUB == 0 and reaches
+    # tmb=8 (py*8 is always sublane-divisible); geometries whose staged
+    # band would then exceed the lane width decline in _layout.
+    while (py * tmb) % SUB:
+        nxt = qy * (tmb * 2 - 1) + plan.y.spread + fs
+        if _round_up(nxt, SUB) > LANE:
+            break
+        tmb *= 2
     if os.environ.get("JINCRESIZE_SEG_TMB"):
         tmb = int(os.environ["JINCRESIZE_SEG_TMB"])
     tmo = py * tmb
@@ -219,10 +229,16 @@ def _layout(op: PlaneOperator, plan: SegPhasePlan):
     tmb, tmo, hbu, hbu_p, g, fs_x, packs, kp = _geometry(op, plan)
     if hbu_p > LANE:
         return None
+    if tmo % SUB:
+        return None  # Mosaic: out block rows must divide the sublane
     tnb = TNB
     nt = -(-plan.x.nblocks // tnb)
     groups, gmax = _tile_groups(plan, nt, tnb)
-    if gmax == 0 or gmax * tmo > 1024:
+    # Loose variant-count gate: per-chunk mp (below) sizes the actual dots,
+    # and the VMEM feasibility check bounds the real hardware limit — the
+    # old global `gmax*tmo > 1024` gate spuriously declined the 2.5x py=5
+    # small-plane geometry (1040) once tmo grew to satisfy the sublane rule.
+    if gmax == 0 or gmax * tmo > 4096:
         return None
     mt = -(-plan.y.nblocks // tmb)
     n_d = len(packs)

@@ -342,3 +342,30 @@ def test_row_only_mesh_frame_batch(mesh8):
         for f in range(3):
             ref = apply_plane_numpy(op, src[f])
             assert np.abs(out[f] - ref).max() <= tol, (impl, f)
+
+
+def test_api_mesh_drifted_selects_seg(mesh8):
+    """User surface: jinc_resize(mesh=...) on a drifted rational upscale
+    reports the seg interior per plane (r5 — attaching a mesh no longer
+    downgrades the parity MXU path) and matches the host golden."""
+    from jincresize_tpu.api import jinc_resize
+    from jincresize_tpu.clip import Clip, gray, random_frame
+    from jincresize_tpu.sharding import make_mesh
+
+    clip = Clip.from_frames([random_frame(gray(8), 640, 360, seed=5)])
+    mesh = make_mesh(n_rows=4)
+    from jincresize_tpu.api import JincConfig, JincResizer
+
+    r = JincResizer(
+        gray(8),
+        640,
+        360,
+        JincConfig(target_width=960, target_height=540, tap=8),
+        mesh=mesh,
+    )
+    assert all(e.endswith("seg") for e in r.engines.values()), r.engines
+    out = jinc_resize(clip, 960, 540, tap=8, mesh=mesh)
+    ref = jinc_resize(clip, 960, 540, tap=8, impl="numpy")
+    a = out.frames[0].planes["Y"].astype(int)
+    b = ref.frames[0].planes["Y"].astype(int)
+    assert np.abs(a - b).max() <= 1

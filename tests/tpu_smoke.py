@@ -40,6 +40,13 @@ CASES = [
     # impl='seg' (auto gates small outputs to the gather path because seg
     # construction compiles a per-geometry kernel).
     ("seg 1.5x drifted parity", 640, 360, 960, 540, 8, 8, {"impl": "seg"}),
+    # Seg exception fixup on hardware (r4 VERDICT weak #6): 2.5x wide plane
+    # with start-offset outliers (4+ exception columns, host-verified by
+    # tests/test_apply_conv_seg.py on the same geometry).
+    ("seg 2.5x exceptions", 1920, 80, 4800, 200, 2, 8, {"impl": "seg"}),
+    # tap16 deep downscale: fs=65 runs the scan-form shift-sum (r5) — the
+    # unrolled form SIGKILLed the TPU compiler at this support size.
+    ("tap16 0.5x scan-shift", 480, 270, 240, 135, 16, 8, {}),
 ]
 
 
