@@ -178,7 +178,8 @@ def main():
         action="store_true",
         help="tap16 4K->1080p (fs=65, fs^2=4225): the regime past every "
         "Pallas kernel envelope (r4 VERDICT weak #5) — runs the XLA "
-        "conv-shift interior (p=1, q=2 plan, 4225 shifted mult-adds)",
+        "conv-shift interior's channelized-MXU deep-tap form (p=1, q=2 "
+        "plan; horizontal-tap matmul + diagonal shift-sum, r5)",
     )
     ap.add_argument(
         "--impl",

@@ -349,8 +349,143 @@ def _shift_sum_scan(lhs_g, Kg, qy, qx, nyb, nxb):
     return acc
 
 
+def _shift_sum_mxu(lhs_g, Kg, qy, qx, nyb, nxb):
+    """Channelized MXU form of the deep-tap interior (r5).
+
+    The scan-form shift-sum streams Kh*Kw strided-slice+FMA passes over the
+    destination plane on the VPU — correct at any tap count, but 67.9
+    ms/frame at tap16 4K->1080p (fs=65, 4225 taps, 8-frame batch, v5e). This
+    form routes the same math through the MXU: the fs^2 MACs factor as ONE
+    matmul over the horizontal taps with the vertical taps as output
+    channels, plus a diagonal row-shift sum:
+
+      R[rx][h, u]    = lhs[h, qx*u + rx]               (qx residue planes,
+                                                        built once/frame)
+      S[h, x, (rx,qb)] = R[rx][h, x + qb]              (contiguous lane
+                                                        slices per tile)
+      C[p, a, h, x]  = sum_b Kb[p, a, b] * S[h, x, b]  (the matmul: M = h*x,
+                                                        K = fb, N = nph*fa)
+      conv[p, y, x]  = sum_a C[p, a, y*qy + a, x]      (fa strided-row adds)
+
+    Destination tiles (both axes) ride a ``lax.map`` so the S/C temporaries
+    stay bounded under the frame vmap (they are alive for every frame of the
+    batch at once — ~24 MB/frame/tile keeps a 32-frame 4K batch under
+    ~1.5 GB of transients). The contraction runs at HIGHEST precision
+    (6-pass bf16, fp32-exact dots), keeping the result in the reference's
+    own C-vs-SIMD accumulation-order tolerance class
+    (/root/reference/src/JincResize.cpp:536-601 vs the SIMD kernels).
+
+    Measured v5e, tap16 4K->1080p fp32, 8-frame batch (ms/batch):
+      * scan-form shift-sum baseline:                 543.2  (67.9 ms/frame)
+      * naive im2col (lane-STRIDED tile slices):      797.8  — strided lane
+        slices lower to gather-class shuffle loops; the residue-plane
+        deinterleave (two contiguous passes/frame) is what makes S cheap
+      * THIS form (residue planes + strided diagonal): 161.2  (20.2 ms/frame)
+      * + de-strided diagonal (C row residues/tile):   202.8  — negative:
+        two extra strided passes over C per tile cost more than 65 small
+        sublane-strided slices
+      * full 2-D residue grouping (vertical taps split by residue, halving
+        the channel matmul MACs):                      286.8  — negative:
+        doubled slice count + halved matmul N utilization beat the MAC win
+      * tx=256 column tiles:                           313.0  — negative
+    3.4x over the scan form; the remaining gap to the ~6 ms HBM floor is
+    the S/C im2col traffic (fb-fold expansion), inherent to the XLA-level
+    formulation — a VMEM-staged Pallas variant is the next lever (see the
+    fused-kernel compile-cost note in ROADMAP 22).
+    """
+    nph, fa, fb = Kg.shape
+    budget = int(os.environ.get("JINCRESIZE_MXU_SHIFT_BYTES", 24 * 1024 * 1024))
+    tx = int(os.environ.get("JINCRESIZE_MXU_SHIFT_TX", 128))  # lane-aligned
+    per_row = 4 * tx * (fb + nph * fa)  # S + C bytes per staged source row
+    eh_t = max(fa + qy, budget // per_row)
+    ty = max(8, (eh_t - fa) // qy + 1)
+    ty = min(ty, nyb)
+    eh_t = (ty - 1) * qy + fa
+    nty = -(-nyb // ty)
+    ntx = -(-nxb // tx)
+    eh_pad = (nty * ty - 1) * qy + fa
+    ew_pad = (ntx * tx - 1) * qx + fb
+    need_h = eh_pad - lhs_g.shape[0]
+    need_w = ew_pad - lhs_g.shape[1]
+    if need_h > 0 or need_w > 0:
+        lhs_g = jnp.pad(lhs_g, ((0, max(0, need_h)), (0, max(0, need_w))))
+
+    # Horizontal residue planes: tap b reads plane b % qx at column offset
+    # b // qx, so Kg's tap columns are permuted to (rx, qb) order to match
+    # the concatenated S layout.
+    nb_r = [len(range(rx, fb, qx)) for rx in range(qx)]
+    mb = max(nb_r)
+    wr = ntx * tx + mb
+    R = jnp.stack(
+        [
+            jnp.pad(p, ((0, 0), (0, wr - p.shape[1])))
+            for rx in range(qx)
+            for p in (lhs_g[:, rx::qx],)
+        ]
+    )  # (qx, eh_pad, wr)
+    border = np.concatenate(
+        [np.arange(rx, fb, qx) for rx in range(qx)]
+    )  # tap order of the concatenated S (static permutation)
+    Kb = Kg[:, :, jnp.asarray(border)]
+
+    def tile(t):
+        iy, ix = t // ntx, t % ntx
+        R_t = jax.lax.dynamic_slice(
+            R, (0, iy * ty * qy, ix * tx), (qx, eh_t, tx + mb)
+        )
+        S = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        jax.lax.slice(R_t[rx], (0, qb), (eh_t, qb + tx))
+                        for qb in range(nb_r[rx])
+                    ],
+                    axis=-1,
+                )
+                for rx in range(qx)
+                if nb_r[rx]
+            ],
+            axis=-1,
+        )  # (eh_t, tx, fb) in (rx, qb) tap order
+        C = jnp.einsum(
+            "pab,hxb->pahx", Kb, S, precision=jax.lax.Precision.HIGHEST
+        )  # (nph, fa, eh_t, tx)
+        acc = jnp.zeros((nph, ty, tx), dtype=f32)
+        for a in range(fa):
+            acc = acc + jax.lax.slice(
+                C,
+                (0, a, a, 0),
+                (nph, a + 1, a + (ty - 1) * qy + 1, tx),
+                (1, 1, qy, 1),
+            )[:, 0]
+        return acc
+
+    tiles = jax.lax.map(tile, jnp.arange(nty * ntx, dtype=jnp.int32))
+    # (nty*ntx, nph, ty, tx) -> (nph, nty*ty, ntx*tx) -> crop
+    conv = (
+        tiles.reshape(nty, ntx, nph, ty, tx)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(nph, nty * ty, ntx * tx)
+    )
+    return conv[:, :nyb, :nxb]
+
+
+def _shift_sum_deep(lhs_g, Kg, qy, qx, nyb, nxb):
+    """Deep-tap interior dispatch: MXU channelized form on TPU, scan on CPU.
+
+    ``JINCRESIZE_DEEP_SHIFT={mxu,scan}`` forces either (tests compare both)."""
+    import jax as _jax
+
+    mode = os.environ.get("JINCRESIZE_DEEP_SHIFT")
+    if mode is None:
+        mode = "mxu" if _jax.default_backend() == "tpu" else "scan"
+    if mode == "mxu":
+        return _shift_sum_mxu(lhs_g, Kg, qy, qx, nyb, nxb)
+    return _shift_sum_scan(lhs_g, Kg, qy, qx, nyb, nxb)
+
+
 # Past this many taps the unrolled shift-sum's HLO breaks the TPU compiler;
-# the scan form takes over (tap16 downscales: fs^2 = 4225).
+# the channelized-MXU / scan forms take over (tap16 downscales: fs^2 = 4225).
 SHIFT_UNROLL_MAX = 2048
 
 
@@ -398,7 +533,7 @@ def apply_plane_conv(
     if Kh * Kw <= 1.3 * fs * fs or len(set(offsets)) == 1:
         # Shared-slice shift-sum: every tap window feeds all phase channels.
         if Kh * Kw > SHIFT_UNROLL_MAX:
-            conv = _shift_sum_scan(lhs, K, qy, qx, nyb, nxb)
+            conv = _shift_sum_deep(lhs, K, qy, qx, nyb, nxb)
         else:
             conv = jnp.zeros((nphase, nyb, nxb), dtype=f32)
             for a in range(Kh):
@@ -414,7 +549,7 @@ def apply_plane_conv(
         for (oy, ox), ps in groups.items():
             Kg = K[jnp.asarray(ps)][:, oy : oy + fs, ox : ox + fs]
             if fs * fs > SHIFT_UNROLL_MAX:
-                acc_g = _shift_sum_scan(lhs[oy:, ox:], Kg, qy, qx, nyb, nxb)
+                acc_g = _shift_sum_deep(lhs[oy:, ox:], Kg, qy, qx, nyb, nxb)
             else:
                 acc_g = jnp.zeros((len(ps), nyb, nxb), dtype=f32)
                 for a in range(fs):

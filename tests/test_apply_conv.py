@@ -159,8 +159,9 @@ def test_tap16_deep_downscale_engine_selection():
     """r4 VERDICT weak #5: tap16 deep downscales (fs=65, fs^2=4225) sit past
     every Pallas kernel envelope. Pin what actually runs: the phase planner
     finds the trivial (p=1, q=2) pattern, the fused kernel declines, and
-    auto lands on the ConvApplier's XLA shift-sum interior (4225 shifted
-    mult-adds) — benched by `bench.py --tap16-downscale`."""
+    auto lands on the ConvApplier's XLA shift-sum interior — scan form on
+    CPU, channelized-MXU deep-tap form on TPU (_shift_sum_deep) — benched
+    by `bench.py --tap16-downscale`."""
     from jincresize_tpu.api import _select_engine
     from jincresize_tpu.kernels import pallas_fused
     from jincresize_tpu.phase import plan_phases
@@ -187,3 +188,27 @@ def test_tap16_downscale_scan_shift_parity():
     out = np.asarray(app(src, out_dtype=np.uint8, peak=255.0))
     ref = apply_plane_numpy(op, src, out_dtype=np.uint8, peak=255.0)
     assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_tap16_downscale_mxu_shift_parity(monkeypatch):
+    """The channelized-MXU deep-tap form (_shift_sum_mxu, the TPU default
+    past SHIFT_UNROLL_MAX) computes the same interior as the scan form:
+    horizontal-tap matmul with vertical taps as channels + diagonal
+    row-shift sum, per vertical residue. Forced on CPU via
+    JINCRESIZE_DEEP_SHIFT; parity vs the scalar golden at the same
+    accumulation-order class, including a 3x (qy=qx=3, fs=98) geometry."""
+    monkeypatch.setenv("JINCRESIZE_DEEP_SHIFT", "mxu")
+    from jincresize_tpu.apply_conv import ConvApplier
+
+    for dw, dh in ((240, 135), (160, 90)):
+        op = build_plane_operator(480, 270, dw, dh, radius_for_tap(16))
+        assert op.filter_size ** 2 > 2048
+        app = ConvApplier(op, interior="shift")
+        src = (
+            np.random.default_rng(9)
+            .integers(0, 256, (270, 480))
+            .astype(np.uint8)
+        )
+        out = np.asarray(app(src, out_dtype=np.uint8, peak=255.0))
+        ref = apply_plane_numpy(op, src, out_dtype=np.uint8, peak=255.0)
+        assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1

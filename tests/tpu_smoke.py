@@ -44,9 +44,10 @@ CASES = [
     # with start-offset outliers (4+ exception columns, host-verified by
     # tests/test_apply_conv_seg.py on the same geometry).
     ("seg 2.5x exceptions", 1920, 80, 4800, 200, 2, 8, {"impl": "seg"}),
-    # tap16 deep downscale: fs=65 runs the scan-form shift-sum (r5) — the
+    # tap16 deep downscale: fs=65 runs the channelized-MXU deep-tap form
+    # (_shift_sum_mxu, the TPU default past SHIFT_UNROLL_MAX) — the
     # unrolled form SIGKILLed the TPU compiler at this support size.
-    ("tap16 0.5x scan-shift", 480, 270, 240, 135, 16, 8, {}),
+    ("tap16 0.5x deep-shift", 480, 270, 240, 135, 16, 8, {}),
 ]
 
 
