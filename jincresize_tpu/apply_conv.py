@@ -486,7 +486,7 @@ def _shift_sum_deep(lhs_g, Kg, qy, qx, nyb, nxb):
 
 # Past this many taps the unrolled shift-sum's HLO breaks the TPU compiler;
 # the channelized-MXU / scan forms take over (tap16 downscales: fs^2 = 4225).
-SHIFT_UNROLL_MAX = 2048
+SHIFT_UNROLL_MAX = int(os.environ.get("JINCRESIZE_SHIFT_UNROLL_MAX", 2048))
 
 
 def apply_plane_conv(
