@@ -484,9 +484,14 @@ def _shift_sum_deep(lhs_g, Kg, qy, qx, nyb, nxb):
     return _shift_sum_scan(lhs_g, Kg, qy, qx, nyb, nxb)
 
 
-# Past this many taps the unrolled shift-sum's HLO breaks the TPU compiler;
-# the channelized-MXU / scan forms take over (tap16 downscales: fs^2 = 4225).
-SHIFT_UNROLL_MAX = int(os.environ.get("JINCRESIZE_SHIFT_UNROLL_MAX", 2048))
+# Past this many taps the unrolled shift-sum is replaced by the
+# channelized-MXU / scan forms. Originally 2048 (the unrolled HLO breaks the
+# TPU compiler past ~4225 taps); lowered to 1200 in r5 on measurement: at
+# fs=41 (tap10 2x downscale, 1681 taps) the unrolled form compiles in 202 s
+# and runs 844 ms/frame at 4K on v5e, vs 8 s / 15.6 ms/frame for the MXU
+# channelized form — aligned with the fused kernel's phase-conv boundary so
+# the unrolled form only serves the small-support regime it is good at.
+SHIFT_UNROLL_MAX = int(os.environ.get("JINCRESIZE_SHIFT_UNROLL_MAX", 1200))
 
 
 def apply_plane_conv(
@@ -614,8 +619,25 @@ class ConvApplier:
         if interior == "auto":
             from .kernels import pallas_fused
 
-            # auto = fused else shift.
-            if backend == "tpu" and pallas_fused.is_supported(op, plan):
+            # auto = fused else shift. Deep-tap supports (fs^2 > 1200) pay a
+            # minutes-scale Mosaic compile (n_dots = fs; ~184 s at fs=65 4K
+            # through the remote tunnel), so auto admits them only for
+            # large outputs where the 3-10x runtime win amortizes it —
+            # same policy as the seg engine's MIN_PIXELS gate. Explicit
+            # interior='fused' (or impl='pallas') always builds.
+            deep_ok = op.filter_size**2 <= 1200 or (
+                op.dst_width * op.dst_height
+                >= int(
+                    os.environ.get(
+                        "JINCRESIZE_DEEP_FUSED_MIN_PIXELS", str(1 << 20)
+                    )
+                )
+            )
+            if (
+                backend == "tpu"
+                and deep_ok
+                and pallas_fused.is_supported(op, plan)
+            ):
                 interior = "fused"
             else:
                 interior = "shift"

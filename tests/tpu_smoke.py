@@ -44,10 +44,16 @@ CASES = [
     # with start-offset outliers (4+ exception columns, host-verified by
     # tests/test_apply_conv_seg.py on the same geometry).
     ("seg 2.5x exceptions", 1920, 80, 4800, 200, 2, 8, {"impl": "seg"}),
-    # tap16 deep downscale: fs=65 runs the channelized-MXU deep-tap form
-    # (_shift_sum_mxu, the TPU default past SHIFT_UNROLL_MAX) — the
-    # unrolled form SIGKILLed the TPU compiler at this support size.
+    # tap16 deep downscale: at this small output (< the 1M-px deep-fused
+    # gate) auto runs the channelized-MXU deep-tap form (_shift_sum_mxu,
+    # the TPU default past SHIFT_UNROLL_MAX) — the unrolled form SIGKILLed
+    # the TPU compiler at this support size.
     ("tap16 0.5x deep-shift", 480, 270, 240, 135, 16, 8, {}),
+    # Same geometry through the fused Pallas kernel (r5: single-phase
+    # deep-tap plans are inside its envelope; auto picks it at >= 1M px —
+    # impl='pallas' forces it here so the deep-tap kernel shape is pinned
+    # on hardware without a minutes-scale 4K compile).
+    ("tap16 0.5x deep-fused", 480, 270, 240, 135, 16, 8, {"impl": "pallas"}),
 ]
 
 
