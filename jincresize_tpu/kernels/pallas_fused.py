@@ -481,17 +481,21 @@ def is_supported(op: PlaneOperator, plan: PhasePlan) -> bool:
     # shift-sum handles such geometries.
     if py * px > 32:
         return False
-    # Deep-tap supports (fs^2 > 1200, e.g. tap16 downscales at fs=65) are
-    # admitted only for SINGLE-phase plans — the one shape measured on
-    # hardware (r5: 4K->1080p tap16 fp32 = 6.52 ms/frame vs 20.2 for the
-    # XLA channelized form and 67.9 for the scan shift-sum; 1-LSB parity).
-    # Compile cost grows with fs (n_dots = fs): ~184 s at fs=65 4K through
-    # the remote-compile tunnel, so the AUTO dispatcher additionally gates
-    # deep-tap fused on output size (ConvApplier); explicit
-    # interior='fused' / impl='pallas' always builds. Multi-phase deep
-    # plans and fs^2 > JINCRESIZE_FUSED_FS2_MAX stay on the XLA forms.
+    # Deep-tap supports (fs^2 > 1200, e.g. tap16 downscales at fs >= 35)
+    # are admitted for plans up to py*px = 4 — the shapes measured on
+    # hardware (r5, v5e, 8..32-frame batches, 1-LSB parity):
+    #   * p=(1,1) 4K->1080p tap16 fs=65:  4.89 ms/frame (vs 20.2 XLA
+    #     channelized, 67.9 scan shift-sum)
+    #   * p=(2,2) 4K->1440p tap16 fs=49:  7.13 ms/frame (vs 33.3 XLA
+    #     channelized) — 4.7x
+    # Compile cost grows with fs (n_dots ~ fs): ~184 s at fs=65 4K / ~97 s
+    # at fs=49 through the remote-compile tunnel, so the AUTO dispatcher
+    # additionally gates deep-tap fused on output size (ConvApplier);
+    # explicit interior='fused' / impl='pallas' always builds. Wider-phase
+    # deep plans (py*px > 4, unmeasured Mosaic regime) and
+    # fs^2 > JINCRESIZE_FUSED_FS2_MAX stay on the XLA forms.
     fs2_max = int(os.environ.get("JINCRESIZE_FUSED_FS2_MAX", 4500))
-    if fs * fs > 1200 and (py * px > 1 or fs * fs > fs2_max):
+    if fs * fs > 1200 and (py * px > 4 or fs * fs > fs2_max):
         return False
     qy = plan.y.q
     spread_y = int(plan.y.offsets.max())

@@ -173,13 +173,18 @@ def test_tap16_deep_downscale_engine_selection():
     assert op.filter_size == 65
     plan = plan_phases(op)
     assert plan is not None and (plan.y.p, plan.y.q) == (1, 2)
-    # r5: single-phase deep-tap plans are inside the fused envelope now.
+    # r5: deep-tap plans up to py*px = 4 are inside the fused envelope now
+    # (p=1 and p=2-per-axis both measured on v5e at 1-LSB parity).
     assert pallas_fused.is_supported(op, plan)
-    # Multi-phase deep-tap plans stay out (untested Mosaic regime).
     op2 = build_plane_operator(480, 270, 320, 180, radius_for_tap(16))
     plan2 = plan_phases(op2)
-    if plan2 is not None and plan2.y.p * plan2.x.p > 1:
-        assert not pallas_fused.is_supported(op2, plan2)
+    assert plan2 is not None and (plan2.y.p, plan2.x.p) == (2, 2)
+    assert pallas_fused.is_supported(op2, plan2)
+    # Wider-phase deep-tap plans stay out (unmeasured Mosaic regime).
+    op3 = build_plane_operator(480, 270, 384, 216, radius_for_tap(16))
+    plan3 = plan_phases(op3)
+    assert plan3 is not None and plan3.y.p * plan3.x.p > 4
+    assert not pallas_fused.is_supported(op3, plan3)
     # CPU backend: auto remains the XLA shift interior.
     app, engine = _select_engine(op, "auto", "fp32")
     assert engine == "shift", engine

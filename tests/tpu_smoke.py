@@ -54,6 +54,10 @@ CASES = [
     # impl='pallas' forces it here so the deep-tap kernel shape is pinned
     # on hardware without a minutes-scale 4K compile).
     ("tap16 0.5x deep-fused", 480, 270, 240, 135, 16, 8, {"impl": "pallas"}),
+    # Multi-phase deep-tap fused (r5: envelope admits py*px <= 4): 2/3
+    # downscale tap16, fs=49, p=(2,2) — measured 7.13 ms/frame at 4K
+    # (4.7x the XLA channelized form).
+    ("tap16 2/3 deep-fused p2", 480, 270, 320, 180, 16, 8, {"impl": "pallas"}),
 ]
 
 
