@@ -369,3 +369,26 @@ def test_api_mesh_drifted_selects_seg(mesh8):
     a = out.frames[0].planes["Y"].astype(int)
     b = ref.frames[0].planes["Y"].astype(int)
     assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_conv_deep_tap(mesh8=None):
+    """r5: deep-tap plans (fs^2 > 1200, py*px <= 4) are inside the fused
+    envelope, and make_sharded_apply_conv picks interiors through the SAME
+    pallas_fused.is_supported — so a periodic tap16 2x downscale on a mesh
+    now rides the per-device fused interior instead of the fs^2-step
+    scan-gather fallback (measured 1527 ms/frame-class in r4). 2-row mesh:
+    the halo is fs-1 = 64 rows on a 270-row source."""
+    from jincresize_tpu.sharding import ShardedApplier, make_mesh
+
+    op = build_plane_operator(480, 270, 240, 135, radius_for_tap(16))
+    assert op.filter_size == 65
+    ap = ShardedApplier(op, make_mesh(n_rows=2))
+    assert ap.interior == "conv-fused", ap.interior
+    src = np.random.default_rng(5).random((270, 480), dtype=np.float32)
+    out = np.asarray(ap(src))
+    ref = apply_plane_numpy(op, src)
+    # 4225 taps/px: the accumulation-order spread vs the row-major golden
+    # grows ~sqrt(nnz) past the 1e-6 bound used for fs^2 <= 289 supports
+    # (measured 2.6e-6 max here) — same tolerance class as the reference's
+    # own C-vs-SIMD paths at this tap count.
+    assert np.abs(out - ref).max() <= 4e-6
